@@ -1,0 +1,156 @@
+"""Configuration system for sam_road_tpu.
+
+Replaces the reference's yaml + addict loader (reference: utils.py:6-30) with a
+self-contained attribute dict that keeps addict's "missing keys are falsy"
+semantics (several reference configs omit keys such as TOPONET_VERSION or
+LORA_RANK and the code relies on them evaluating False), while adding typed
+defaults covering every key used by the reference config grid
+(reference: config/*.yaml) plus TPU-specific execution knobs.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from datetime import datetime
+from typing import Any, Mapping
+
+import yaml
+
+
+class _Missing:
+    """Falsy sentinel returned for absent config keys (addict semantics)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __bool__(self):
+        return False
+
+    def __eq__(self, other):
+        return isinstance(other, _Missing)
+
+    def __ne__(self, other):
+        return not isinstance(other, _Missing)
+
+    def __hash__(self):
+        return hash(_Missing)
+
+    def __repr__(self):
+        return "<missing>"
+
+
+MISSING = _Missing()
+
+
+class Config(dict):
+    """Dict with attribute access; missing keys return a falsy sentinel."""
+
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("__"):
+            raise AttributeError(name)
+        if name in self:
+            return self[name]
+        return MISSING
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __delattr__(self, name: str) -> None:
+        if name in self:
+            del self[name]
+
+    def __deepcopy__(self, memo):
+        return Config({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        out = cls()
+        for k, v in d.items():
+            out[k] = cls.from_dict(v) if isinstance(v, Mapping) else v
+        return out
+
+    def to_dict(self) -> dict:
+        return {
+            k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()
+        }
+
+
+# Defaults for every key in the reference config grid (reference:
+# config/toponet_vitb_512_cityscale.yaml and its ablation variants), plus
+# TPU execution keys. A loaded YAML overrides these.
+DEFAULTS: dict = {
+    # Dataset / model family
+    "DATASET": "cityscale",
+    "NO_SAM": False,
+    "SAM_VERSION": "vit_b",
+    "SAM_CKPT_PATH": "sam_ckpts/sam_vit_b_01ec64.pth",
+    "PATCH_SIZE": 512,
+    # Training
+    "BATCH_SIZE": 16,
+    "DATA_WORKER_NUM": 0,
+    "TRAIN_EPOCHS": 10,
+    "BASE_LR": 1e-3,
+    "FREEZE_ENCODER": False,
+    "ENCODER_LR_FACTOR": 0.1,
+    "ENCODER_LORA": False,
+    "LORA_RANK": 4,
+    "FOCAL_LOSS": False,
+    "USE_SAM_DECODER": False,
+    # TopoNet
+    "TOPO_SAMPLE_NUM": 512,
+    "TOPONET_VERSION": "normal",
+    # Inference
+    "INFER_BATCH_SIZE": 64,
+    "SAMPLE_MARGIN": 64,
+    "INFER_PATCHES_PER_EDGE": 16,
+    "ITSC_THRESHOLD": 0.248,
+    "ROAD_THRESHOLD": 0.364,
+    "TOPO_THRESHOLD": 0.500,
+    "ITSC_NMS_RADIUS": 8,
+    "ROAD_NMS_RADIUS": 16,
+    "NEIGHBOR_RADIUS": 64,
+    "MAX_NEIGHBOR_QUERIES": 16,
+    # --- TPU execution knobs (new in this framework) ---
+    # Compute dtype for matmuls/activations; params and reductions stay fp32.
+    "COMPUTE_DTYPE": "bfloat16",
+    # Device mesh: number of data-parallel shards. 0/absent => all devices.
+    "DP_SHARDS": 0,
+    # Gradient checkpointing of encoder blocks (trades FLOPs for HBM).
+    "REMAT_ENCODER": False,
+    # Profiling trace dir; empty disables.
+    "TRACE_DIR": "",
+}
+
+
+def load_config(path: str | None = None, overrides: Mapping[str, Any] | None = None) -> Config:
+    """Load a YAML config on top of DEFAULTS (reference: utils.py:6-9)."""
+    cfg = Config.from_dict(DEFAULTS)
+    if path is not None:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        for k, v in loaded.items():
+            cfg[k] = Config.from_dict(v) if isinstance(v, Mapping) else v
+    if overrides:
+        for k, v in overrides.items():
+            cfg[k] = v
+    return cfg
+
+
+def create_output_dir_and_save_config(
+    output_dir_prefix: str, config: Config, specified_dir: str | None = None
+) -> str:
+    """Create run dir and snapshot the config (reference: utils.py:11-30)."""
+    if specified_dir:
+        output_dir = specified_dir
+    else:
+        timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        output_dir = f"{output_dir_prefix}_{timestamp}"
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.yaml"), "w") as f:
+        yaml.dump(config.to_dict(), f)
+    return output_dir

@@ -1,0 +1,77 @@
+"""Greedy score-ordered point NMS.
+
+Exact semantics of reference graph_utils.py:572-591 (nms_points): points are
+visited in descending score order; a still-kept point suppresses every
+neighbor within `radius` except those with score > 1.0 (the force-keep channel
+used for intersection vertices, reference dataset.py:103-110). The reference
+loops a Python KDTree query per point; here neighbor gathering uses a bucketed
+uniform grid (cell = radius, so a radius-ball is covered by the 3x3 cell
+neighborhood), which makes the per-survivor work a small numpy gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def nms_points(points, scores, radius, return_indices: bool = False):
+    """Greedy radius NMS; scores > 1.0 are immune to suppression.
+
+    Args:
+      points: [N, 2] float coordinates.
+      scores: [N] float scores.
+      radius: suppression radius (closed ball, d <= radius).
+      return_indices: if True also return indices into the input arrays.
+
+    Returns:
+      kept points [M, 2] sorted by descending score, and optionally the
+      original indices of the kept points.
+    """
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    n = points.shape[0]
+    if n == 0:
+        empty = points.reshape(0, 2)
+        return (empty, np.zeros(0, dtype=np.int64)) if return_indices else empty
+
+    sorted_indices = np.argsort(scores)[::-1]
+    sorted_points = points[sorted_indices]
+    sorted_scores = scores[sorted_indices]
+    kept = np.ones(n, dtype=bool)
+    immune = sorted_scores > 1.0
+
+    cell = float(radius) if radius > 0 else 1.0
+    cx = np.floor(sorted_points[:, 0] / cell).astype(np.int64)
+    cy = np.floor(sorted_points[:, 1] / cell).astype(np.int64)
+    cx -= cx.min()
+    cy -= cy.min()
+    ny = int(cy.max()) + 1
+    keys = cx * ny + cy
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    r2 = float(radius) * float(radius)
+
+    for idx in range(n):
+        if not kept[idx]:
+            continue
+        # Gather candidates from the 3x3 cell neighborhood.
+        cands = []
+        for dx in (-1, 0, 1):
+            col = cx[idx] + dx
+            if col < 0:
+                continue
+            lo = np.searchsorted(keys_sorted, col * ny + max(cy[idx] - 1, 0), "left")
+            hi = np.searchsorted(keys_sorted, col * ny + cy[idx] + 1, "right")
+            if hi > lo:
+                cands.append(order[lo:hi])
+        if not cands:
+            continue
+        cand = np.concatenate(cands)
+        d = sorted_points[cand] - sorted_points[idx]
+        nbr = cand[(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) <= r2]
+        kept[nbr] = immune[nbr]
+        kept[idx] = True
+
+    if return_indices:
+        return sorted_points[kept], sorted_indices[kept]
+    return sorted_points[kept]
