@@ -1,0 +1,296 @@
+"""SAM-style ViTDet image encoder in Flax (NHWC, bf16-friendly).
+
+Architecture pinned by the reference's constructor call (reference:
+model.py:245-258): 16x16 patch embed, absolute position embedding, ViT blocks
+with 14x14 windowed attention except `global_attn_indexes` which attend
+globally, decomposed relative position embeddings, and a 2-conv neck to a
+256-channel stride-16 feature map. Re-designed TPU-first:
+
+- NHWC end to end (TPU conv layout), no NCHW permutes anywhere.
+- Window partitioning is a static reshape (sizes known at trace time), so the
+  whole encoder is one fused XLA program; windows fold into the batch dim and
+  attention runs as large batched MXU matmuls.
+- Relative-position tables are gathered with *static* indices (sizes are
+  compile-time constants), so the bias add fuses into the attention matmul
+  epilogue.
+- Optional jax.checkpoint per block (REMAT_ENCODER) trades FLOPs for HBM.
+
+Parameter tree names mirror the torch checkpoint keys (patch_embed.proj,
+blocks_i.attn.qkv, neck_0...) so conversion is a mechanical transpose
+(see models/convert.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over NHWC feature maps (SAM's LayerNorm2d,
+    eps 1e-6), normalizing across the channel axis only."""
+
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (y * weight + bias).astype(x.dtype)
+
+
+def _get_rel_pos_table(size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Gather the (size, size, head_dim) relative-position bias table.
+
+    q_size == k_size == size here, so the reference's get_rel_pos reduces to a
+    static-index gather: entry (i, j) = rel_pos[i - j + size - 1]. Tables are
+    pre-resized at checkpoint load (reference: model.py:403-410), so the shape
+    always matches 2*size - 1.
+    """
+    assert rel_pos.shape[0] == 2 * size - 1, (
+        f"rel_pos table {rel_pos.shape} does not match size {size}; "
+        "resize at checkpoint load"
+    )
+    coords = np.arange(size)[:, None] - np.arange(size)[None, :] + size - 1
+    return rel_pos[coords]
+
+
+class Attention(nn.Module):
+    """Multi-head attention with decomposed relative position bias.
+
+    input_size is the static (H, W) token grid of this block's attention
+    (window size for windowed blocks, full grid for global blocks).
+    With ENCODER_LORA, rank-r adapter paths are added to the q and v slices
+    of the fused qkv projection (reference: model.py:152-187, _LoRA_qkv).
+    """
+
+    dim: int
+    num_heads: int
+    input_size: tuple
+    use_rel_pos: bool = True
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, C] (H, W == self.input_size)
+        B, H, W, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv_layer = nn.Dense(
+            self.dim * 3, use_bias=True, name="qkv", dtype=self.dtype
+        )
+        qkv = qkv_layer(x.reshape(B, H * W, C))
+        if self.lora_rank > 0:
+            # LoRA on q and v only, zero-init B so surgery starts as identity.
+            a_q = nn.Dense(self.lora_rank, use_bias=False, name="linear_a_q",
+                           dtype=self.dtype)
+            b_q = nn.Dense(self.dim, use_bias=False, name="linear_b_q",
+                           kernel_init=nn.initializers.zeros, dtype=self.dtype)
+            a_v = nn.Dense(self.lora_rank, use_bias=False, name="linear_a_v",
+                           dtype=self.dtype)
+            b_v = nn.Dense(self.dim, use_bias=False, name="linear_b_v",
+                           kernel_init=nn.initializers.zeros, dtype=self.dtype)
+            xt = x.reshape(B, H * W, C)
+            new_q = b_q(a_q(xt))
+            new_v = b_v(a_v(xt))
+            qkv = qkv.at[..., : self.dim].add(new_q)
+            qkv = qkv.at[..., -self.dim :].add(new_v)
+
+        # [B, N, 3, nH, hd] -> 3 x [B, nH, N, hd]
+        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
+
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+        )
+
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h",
+                nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w",
+                nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            Rh = _get_rel_pos_table(H, rel_pos_h).astype(self.dtype)
+            Rw = _get_rel_pos_table(W, rel_pos_w).astype(self.dtype)
+            r_q = q.reshape(B, self.num_heads, H, W, head_dim)
+            rel_h = jnp.einsum(
+                "bnhwc,hkc->bnhwk", r_q, Rh, preferred_element_type=jnp.float32
+            )
+            rel_w = jnp.einsum(
+                "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
+            )
+            attn = attn.reshape(B, self.num_heads, H, W, H, W)
+            attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+            attn = attn.reshape(B, self.num_heads, H * W, H * W)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
+
+
+def window_partition(x, window_size: int):
+    """[B, H, W, C] -> [B*nW, ws, ws, C] with zero padding to multiples of
+    ws (reference behavior: SAM pads post-norm activations with zeros)."""
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window_size, window_size, Wp // window_size, window_size, C)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(windows, window_size: int, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = windows.shape[-1]
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.reshape(
+        B, Hp // window_size, Wp // window_size, window_size, window_size, C
+    )
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W, :]
+
+
+class Block(nn.Module):
+    """Transformer block: LN -> (windowed) attention -> LN -> MLP, residual."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    window_size: int  # 0 => global attention
+    input_size: tuple  # full token grid (H, W)
+    use_rel_pos: bool = True
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        attn_size = (
+            (self.window_size, self.window_size)
+            if self.window_size > 0
+            else self.input_size
+        )
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
+        if self.window_size > 0:
+            h, pad_hw = window_partition(h, self.window_size)
+        h = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            input_size=attn_size,
+            use_rel_pos=self.use_rel_pos,
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            name="attn",
+        )(h)
+        if self.window_size > 0:
+            h = window_unpartition(h, self.window_size, pad_hw, x.shape[1:3])
+        x = shortcut + h
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        h = nn.Dense(hidden, name="mlp_lin1", dtype=self.dtype)(h)
+        # torch nn.GELU default is the exact erf form.
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="mlp_lin2", dtype=self.dtype)(h)
+        return x + h
+
+
+class ImageEncoderViT(nn.Module):
+    """SAM image encoder (reference architecture: model.py:245-258)."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    use_rel_pos: bool = True
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
+    lora_rank: int = 0  # >0 adds LoRA q/v adapters to every block
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, 3] normalized input
+        grid = self.img_size // self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embed_proj",
+            dtype=self.dtype,
+        )(x.astype(self.dtype))
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, grid, grid, self.embed_dim),
+        )
+        x = x + pos_embed.astype(self.dtype)
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block)
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                window_size=0 if i in self.global_attn_indexes else self.window_size,
+                input_size=(grid, grid),
+                use_rel_pos=self.use_rel_pos,
+                lora_rank=self.lora_rank,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+
+        # Neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (reference neck order).
+        x = nn.Conv(
+            self.out_chans, (1, 1), use_bias=False, name="neck_0", dtype=self.dtype
+        )(x)
+        x = LayerNorm2d(self.out_chans, name="neck_1")(x)
+        x = nn.Conv(
+            self.out_chans,
+            (3, 3),
+            padding="SAME",
+            use_bias=False,
+            name="neck_2",
+            dtype=self.dtype,
+        )(x)
+        x = LayerNorm2d(self.out_chans, name="neck_3")(x)
+        # [B, grid, grid, out_chans] (NHWC; reference returns NCHW)
+        return x
+
+
+ENCODER_SPECS = {
+    # reference: model.py:197-218
+    "vit_b": dict(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11)),
+    "vit_l": dict(embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23)),
+    "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31)),
+}
