@@ -1,0 +1,92 @@
+"""Training CLI (reference: train.py).
+
+samroad-train --config configs/toponet_vitb_512_cityscale.yaml
+  [--resume CKPT] [--dev_run] [--fast_dev_run] [--data_root DIR]
+  [--output_dir DIR] [--sam_ckpt PATH]
+
+Unlike the reference, --resume is actually wired (the reference parses it but
+never passes it to trainer.fit, reference: train.py:26-28,104).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--resume", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--sam_ckpt", default=None,
+                        help="override SAM_CKPT_PATH (torch .pth)")
+    parser.add_argument("--fast_dev_run", action="store_true")
+    parser.add_argument("--dev_run", action="store_true")
+    parser.add_argument("--data_root", default=".")
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from sam_road_tpu.config import create_output_dir_and_save_config, load_config
+    from sam_road_tpu.data.dataset import BatchLoader, SatMapDataset
+    from sam_road_tpu.models.sam_road import init_params
+    from sam_road_tpu.training.harness import Trainer, load_checkpoint
+
+    config = load_config(args.config)
+    dev_run = args.dev_run or args.fast_dev_run
+    output_dir = create_output_dir_and_save_config(
+        "./save/train", config, specified_dir=args.output_dir
+    )
+
+    print("initializing params...", flush=True)
+    params = init_params(config)
+    sam_ckpt = args.sam_ckpt or config.SAM_CKPT_PATH
+    if args.resume:
+        params = load_checkpoint(args.resume, params)
+        print(f"resumed from {args.resume}")
+    elif not config.NO_SAM and sam_ckpt and os.path.exists(sam_ckpt):
+        from sam_road_tpu.models.convert import load_and_convert
+
+        params, matched, mismatched = load_and_convert(sam_ckpt, config)
+        print("###### Matched params ######")
+        print("\n".join(matched[:20] + [f"... {len(matched)} total"]))
+        print("###### Mismatched params ######")
+        print("\n".join(mismatched))
+    else:
+        print("training from random init (no SAM checkpoint found)")
+
+    train_ds = SatMapDataset(config, is_train=True, dev_run=dev_run,
+                             data_root=args.data_root)
+    val_ds = SatMapDataset(config, is_train=False, dev_run=dev_run,
+                           data_root=args.data_root)
+
+    batch_size = int(config.BATCH_SIZE)
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    if args.fast_dev_run:
+        steps_per_epoch = 2
+    train_loader = BatchLoader(train_ds, batch_size, seed=args.seed,
+                               num_batches=steps_per_epoch)
+    val_loader = BatchLoader(val_ds, batch_size, seed=args.seed,
+                             num_batches=max(1, len(val_ds) // batch_size))
+
+    trainer = Trainer(
+        config=config, params=params, output_dir=output_dir,
+        steps_per_epoch=steps_per_epoch,
+    )
+    epochs = 1 if args.fast_dev_run else int(config.TRAIN_EPOCHS)
+    for epoch in range(epochs):
+        trainer.train_epoch(train_loader, epoch)
+        metrics = trainer.validate(val_loader)
+        printable = {k: v for k, v in metrics.items() if not k.startswith("_")}
+        print(f"epoch {epoch} val: {printable}", flush=True)
+        ckpt = trainer.save_checkpoint(epoch)
+        with open(os.path.join(output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"epoch": epoch, **printable}) + "\n")
+        print(f"saved {ckpt}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -293,4 +293,6 @@ ENCODER_SPECS = {
     "vit_b": dict(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11)),
     "vit_l": dict(embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23)),
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31)),
+    # framework addition: tiny encoder for tests / smoke runs (no SAM ckpt)
+    "vit_t": dict(embed_dim=64, depth=2, num_heads=2, global_attn_indexes=(1,)),
 }

@@ -1,0 +1,10 @@
+"""Device-mesh parallelism: mesh construction and sharding rules."""
+
+from sam_road_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]

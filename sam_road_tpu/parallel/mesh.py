@@ -1,0 +1,38 @@
+"""Mesh + sharding helpers.
+
+The reference has no multi-device execution (its DDP strategy line is
+commented out, reference: train.py:99). Here data parallelism is first-class:
+a 1-D 'dp' mesh over ICI; batches shard on their leading axis, parameters and
+optimizer state replicate, and XLA inserts the gradient psum. The same mesh
+shards the inference patch grid across chips for region inference.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh; n_dp == 0 uses every visible device."""
+    if devices is None:
+        devices = jax.devices()
+    if n_dp and n_dp > 0:
+        devices = devices[:n_dp]
+    return Mesh(np.asarray(devices), axis_names=("dp",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across 'dp'."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put every array in the batch with its leading axis sharded."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

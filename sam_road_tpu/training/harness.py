@@ -1,0 +1,281 @@
+"""Training harness: parameter-group optimizer, jitted DP train step,
+validation metrics, orbax checkpointing.
+
+Replaces the reference's Lightning wiring (reference: train.py:84-104,
+model.py:511-685) with: one jitted train step (loss + grads + Adam update in
+a single XLA program, bf16 activations / fp32 params+opt), data-parallel
+sharding over a 'dp' mesh, streaming device-side metrics, and working resume
+(the reference parses --resume but never wires it, reference: train.py:26-28
+vs 104 — fixed here).
+
+Optimizer grouping mirrors reference configure_optimizers (model.py:637-685):
+  encoder params      BASE_LR * ENCODER_LR_FACTOR (or frozen / LoRA-only)
+  decoder + toponet   BASE_LR
+  LR schedule         MultiStepLR(milestones=[9 epochs], gamma=0.1)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from sam_road_tpu.models.sam_road import SAMRoad, build_model
+from sam_road_tpu.ops.losses import bce_with_logits, masked_topo_loss, sigmoid_focal_loss
+from sam_road_tpu.ops.metrics import (
+    binary_f1_counts,
+    binary_iou_counts,
+    pr_histogram,
+)
+from sam_road_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def _param_group(path_tuple) -> str:
+    """Map a param path to its optimizer group."""
+    top = path_tuple[0]
+    if top == "image_encoder":
+        if any("linear_a_" in p or "linear_b_" in p for p in path_tuple):
+            return "encoder_lora"
+        return "encoder"
+    if top in ("map_decoder", "sam_decoder"):
+        return "decoder"
+    if top == "topo_net":
+        return "toponet"
+    return "decoder"
+
+
+def build_optimizer(config, params, steps_per_epoch: int):
+    """Adam with per-group LR + MultiStepLR(milestones=[9], gamma=0.1)."""
+    base_lr = float(config.BASE_LR)
+    boundary = 9 * int(steps_per_epoch)
+
+    def schedule(lr):
+        return optax.piecewise_constant_schedule(lr, {boundary: 0.1})
+
+    freeze_encoder = bool(config.FREEZE_ENCODER) or bool(config.ENCODER_LORA)
+    group_tx = {
+        "encoder": (
+            optax.set_to_zero()
+            if freeze_encoder
+            else optax.adam(schedule(base_lr * float(config.ENCODER_LR_FACTOR)))
+        ),
+        "encoder_lora": (
+            optax.adam(schedule(base_lr))
+            if config.ENCODER_LORA
+            else optax.set_to_zero()
+        ),
+        "decoder": optax.adam(schedule(base_lr)),
+        "toponet": optax.adam(schedule(base_lr)),
+    }
+    labels = _label_tree(params)
+    return optax.multi_transform(group_tx, labels)
+
+
+def _label_tree(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    labels_flat = []
+    for path, _ in flat:
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        labels_flat.append(_param_group(keys))
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, labels_flat)
+
+
+def make_train_step(config) -> Callable:
+    """One jitted optimization step: forward, losses, grads, Adam update."""
+    model = build_model(config)
+    use_focal = bool(config.FOCAL_LOSS)
+
+    def loss_fn(params, batch, dropout_rng):
+        mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
+            {"params": params},
+            batch["rgb"],
+            batch["graph_points"],
+            batch["pairs"],
+            batch["valid"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        gt_masks = jnp.stack([batch["keypoint_mask"], batch["road_mask"]], axis=3)
+        if use_focal:
+            mask_loss = sigmoid_focal_loss(mask_logits, gt_masks)
+        else:
+            mask_loss = bce_with_logits(mask_logits, gt_masks)
+        topo_loss = masked_topo_loss(topo_logits, batch["connected"], batch["valid"])
+        loss = mask_loss + topo_loss
+        return loss, {"mask_loss": mask_loss, "topo_loss": topo_loss, "loss": loss}
+
+    def train_step(state: TrainState, batch, dropout_rng, tx):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, batch, dropout_rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            aux,
+        )
+
+    return train_step
+
+
+def make_eval_step(config) -> Callable:
+    """Jitted validation step returning loss + streaming metric counts
+    (reference: model.py:547-600)."""
+    model = build_model(config)
+    use_focal = bool(config.FOCAL_LOSS)
+
+    @jax.jit
+    def eval_step(params, batch):
+        mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
+            {"params": params},
+            batch["rgb"],
+            batch["graph_points"],
+            batch["pairs"],
+            batch["valid"],
+            deterministic=True,
+        )
+        gt_masks = jnp.stack([batch["keypoint_mask"], batch["road_mask"]], axis=3)
+        if use_focal:
+            mask_loss = sigmoid_focal_loss(mask_logits, gt_masks)
+        else:
+            mask_loss = bce_with_logits(mask_logits, gt_masks)
+        topo_loss = masked_topo_loss(topo_logits, batch["connected"], batch["valid"])
+
+        kp_i, kp_u = binary_iou_counts(mask_scores[..., 0], batch["keypoint_mask"])
+        rd_i, rd_u = binary_iou_counts(mask_scores[..., 1], batch["road_mask"])
+        valid_i = batch["valid"].astype(jnp.int32)
+        topo_gt = (1 - valid_i) * -1 + valid_i * batch["connected"].astype(jnp.int32)
+        tp, fp, fn = binary_f1_counts(topo_scores[..., 0], topo_gt)
+        # PR histograms for threshold calibration (reference: model.py:602-617)
+        kp_pos, kp_neg = pr_histogram(
+            mask_scores[..., 0], (batch["keypoint_mask"] >= 0.5).astype(jnp.int32)
+        )
+        rd_pos, rd_neg = pr_histogram(
+            mask_scores[..., 1], (batch["road_mask"] >= 0.5).astype(jnp.int32)
+        )
+        tp_pos, tp_neg = pr_histogram(topo_scores[..., 0], topo_gt)
+        return {
+            "mask_loss": mask_loss,
+            "topo_loss": topo_loss,
+            "loss": mask_loss + topo_loss,
+            "kp_iou": jnp.stack([kp_i, kp_u]),
+            "road_iou": jnp.stack([rd_i, rd_u]),
+            "topo_f1": jnp.stack([tp, fp, fn]),
+            "kp_pr": jnp.stack([kp_pos, kp_neg]),
+            "road_pr": jnp.stack([rd_pos, rd_neg]),
+            "topo_pr": jnp.stack([tp_pos, tp_neg]),
+        }
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch loop + checkpoints + logging. Single-controller JAX: params are
+    replicated over the dp mesh, batches shard on the leading axis."""
+
+    config: Any
+    params: Any
+    output_dir: str
+    steps_per_epoch: int
+    log_every: int = 50
+    mesh: Any = None
+
+    def __post_init__(self):
+        cfg = self.config
+        self.mesh = self.mesh or make_mesh(int(cfg.DP_SHARDS or 0))
+        self.tx = build_optimizer(cfg, self.params, self.steps_per_epoch)
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        opt_state = jax.device_put(self.tx.init(self.params), rep)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=self.params, opt_state=opt_state
+        )
+        raw_step = make_train_step(cfg)
+        self._train_step = jax.jit(
+            partial(raw_step, tx=self.tx), donate_argnums=(0,)
+        )
+        self._eval_step = make_eval_step(cfg)
+        self._rng = jax.random.PRNGKey(0)
+        self.history: list = []
+
+    def train_epoch(self, loader, epoch: int):
+        logs = []
+        for i, batch in enumerate(loader):
+            batch = shard_batch(self.mesh, batch)
+            self._rng, dropout_rng = jax.random.split(self._rng)
+            self.state, aux = self._train_step(self.state, batch, dropout_rng)
+            if i % self.log_every == 0:
+                aux = {k: float(v) for k, v in aux.items()}
+                aux.update(epoch=epoch, batch=i)
+                logs.append(aux)
+                print(
+                    f"epoch {epoch} step {i}/{len(loader)} "
+                    f"loss {aux['loss']:.4f} mask {aux['mask_loss']:.4f} "
+                    f"topo {aux['topo_loss']:.4f}",
+                    flush=True,
+                )
+        self.history.extend(logs)
+        return logs
+
+    def validate(self, loader):
+        total = None
+        n = 0
+        for batch in loader:
+            batch = shard_batch(self.mesh, batch)
+            out = self._eval_step(self.state.params, batch)
+            out = jax.tree.map(np.asarray, out)
+            if total is None:
+                total = out
+            else:
+                total = jax.tree.map(np.add, total, out)
+            n += 1
+        if total is None:
+            return {}
+        metrics = {
+            "val_loss": float(total["loss"]) / n,
+            "val_mask_loss": float(total["mask_loss"]) / n,
+            "val_topo_loss": float(total["topo_loss"]) / n,
+            "keypoint_iou": float(total["kp_iou"][0] / max(total["kp_iou"][1], 1)),
+            "road_iou": float(total["road_iou"][0] / max(total["road_iou"][1], 1)),
+        }
+        tp, fp, fn = total["topo_f1"]
+        metrics["topo_f1"] = float(2 * tp / max(2 * tp + fp + fn, 1))
+        metrics["_pr_histograms"] = {
+            "keypoint": total["kp_pr"],
+            "road": total["road_pr"],
+            "topo": total["topo_pr"],
+        }
+        return metrics
+
+    def save_checkpoint(self, epoch: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, f"ckpt_epoch_{epoch}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(self.state.params), force=True)
+        ckptr.wait_until_finished()
+        return path
+
+
+def load_checkpoint(path: str, init_params):
+    """Restore params saved by Trainer.save_checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), jax.device_get(init_params))

@@ -1,0 +1,133 @@
+"""Data pipeline tests: label generation, GraphLabelGenerator semantics,
+SatMapDataset sampling, collation, loader."""
+
+import numpy as np
+import pytest
+
+from sam_road_tpu.config import load_config
+from sam_road_tpu.data.dataset import BatchLoader, SatMapDataset, collate_batch
+from sam_road_tpu.data.graph_labels import GraphLabelGenerator
+
+from synthetic_data import make_spacenet_fixture
+
+
+@pytest.fixture(scope="module")
+def spacenet_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthetic")
+    make_spacenet_fixture(str(root), image_size=160, spacing=40)
+    return str(root)
+
+
+def _cfg(**over):
+    base = dict(
+        DATASET="spacenet",
+        IMAGE_SIZE=160,
+        PATCH_SIZE=80,
+        TOPO_SAMPLE_NUM=8,
+        MAX_NEIGHBOR_QUERIES=4,
+        NEIGHBOR_RADIUS=48,
+        ROAD_NMS_RADIUS=16,
+        BATCH_SIZE=2,
+    )
+    base.update(over)
+    return load_config(overrides=base)
+
+
+def test_label_masks_rasterized(spacenet_root):
+    import cv2
+    import os
+
+    kp = cv2.imread(
+        os.path.join(spacenet_root, "spacenet/processed/keypoint_mask_SYN_0.png"),
+        cv2.IMREAD_GRAYSCALE,
+    )
+    road = cv2.imread(
+        os.path.join(spacenet_root, "spacenet/processed/road_mask_SYN_0.png"),
+        cv2.IMREAD_GRAYSCALE,
+    )
+    assert kp.shape == (160, 160)
+    assert kp.max() == 255 and road.max() == 255
+    # road pixels superset-ish of keypoint centers; both sparse
+    assert 0 < (road > 0).mean() < 0.5
+    assert (kp > 0).sum() < (road > 0).sum()
+
+
+def test_graph_label_generator_connectivity():
+    # straight horizontal road: neighbors along the line connect, an isolated
+    # parallel road does not.
+    adj = {}
+
+    def add(a, b):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    # two parallel horizontal roads at y=20 and y=60 ((r, c) keys, rc->xy)
+    for x in range(0, 190, 10):
+        add((20, x), (20, x + 10))
+        add((60, x), (60, x + 10))
+    cfg = _cfg(ROAD_NMS_RADIUS=8, NEIGHBOR_RADIUS=50, MAX_NEIGHBOR_QUERIES=8,
+               TOPO_SAMPLE_NUM=32, PATCH_SIZE=100)
+    gen = GraphLabelGenerator(cfg, adj, lambda v: v[:, ::-1])
+    rng = np.random.default_rng(0)
+    points, samples = gen.sample_patch(((0, 0), (100, 100)), 0, rng)
+
+    n_connected = n_valid = 0
+    for pairs, shall_connect, valid in samples:
+        for (s, t), c, v in zip(pairs, shall_connect, valid):
+            if not v:
+                continue
+            n_valid += 1
+            # y-coordinates before noise: ~20 or ~60
+            same_road = abs(points[s][1] - points[t][1]) < 15
+            if c:
+                n_connected += 1
+                assert same_road, (points[s], points[t])
+    assert n_valid > 0
+    assert 0 < n_connected < n_valid  # some connect, cross-road pairs don't
+
+
+def test_dataset_sample_shapes(spacenet_root):
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=True, data_root=spacenet_root)
+    rng = np.random.default_rng(0)
+    s = ds.sample(0, rng)
+    assert s["rgb"].shape == (80, 80, 3)
+    assert s["keypoint_mask"].shape == (80, 80)
+    assert 0 <= s["keypoint_mask"].max() <= 1.0
+    assert s["pairs"].shape == (8, 4, 2)
+    assert s["connected"].shape == (8, 4)
+    assert s["valid"].shape == (8, 4)
+    assert s["graph_points"].ndim == 2
+    # the patch must actually contain graph points (not the empty fallback)
+    assert s["graph_points"].shape[0] > 1
+    assert s["valid"].any()
+    # points live inside the (pre-noise) patch frame
+    assert s["graph_points"].min() > -16 and s["graph_points"].max() < 96
+
+
+def test_collate_bucketing(spacenet_root):
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=True, data_root=spacenet_root)
+    rng = np.random.default_rng(1)
+    batch = collate_batch([ds.sample(0, rng) for _ in range(3)], point_bucket=32)
+    assert batch["graph_points"].shape[0] == 3
+    assert batch["graph_points"].shape[1] % 32 == 0
+    assert batch["rgb"].shape == (3, 80, 80, 3)
+
+
+def test_batch_loader(spacenet_root):
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=True, data_root=spacenet_root)
+    loader = BatchLoader(ds, batch_size=2, num_batches=3, point_bucket=32)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["rgb"].shape[0] == 2
+
+
+def test_eval_patches_cover_image(spacenet_root):
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=False, data_root=spacenet_root)
+    assert len(ds.eval_patches) == len(ds.rgbs) * 4  # ceil(160/80)^2
+    s = ds.sample(0)
+    assert s["rgb"].shape == (80, 80, 3)
