@@ -1,0 +1,488 @@
+// APLS road-graph metric — native scorer.
+//
+// C++ re-implementation of the reference's Go APLS pipeline (reference:
+// cityscale_metrics/apls/main.go, spacenet variant main.go:717-726):
+//   densify to ~2 m hops -> control points along degree!=2 chains (in-bound
+//   margin + 2 m lockey dedup + 4-hop coverage propagation) -> one-to-one
+//   snap of GT control points to proposal nodes (<10 m, 10-NN candidates)
+//   -> multi-source Dijkstra with integer-centimeter weights -> symmetric
+//   APLS = 1 - mean(min(1, |d_gt - d_prop| / d_gt)); unmatched pairs score
+//   1.0 (main.go:503-507). The cross-graph coverage-propagation quirk
+//   (main.go:312-314) is preserved bug-for-bug.
+//
+// CLI-compatible with the reference binary:
+//   apls gt.json prop.json out.txt [spacenet_flag]
+// where the JSONs are [[ [lat,lon], ...], [ [i,j], ... ]].
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <fstream>
+#include <queue>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct Params {
+  int interval_1 = 37;
+  double interval_2 = 25.0;
+  double min_distance_filter = 100.0;
+  int prop_step = 4;
+  double region_size = 2048.0;
+  double margin_size = 100.0;
+};
+
+constexpr double kLatTopLeft = 41.0;
+constexpr double kLonTopLeft = -71.0;
+constexpr double kPi = 3.1415926;
+
+double GPSDistance(const std::pair<double, double>& p1,
+                   const std::pair<double, double>& p2) {
+  double a = (p1.first - p2.first) * 111111.0;
+  double b = (p1.second - p2.second) * 111111.0 *
+             std::cos(p1.first / 360.0 * 2.0 * M_PI);
+  return std::sqrt(a * a + b * b);
+}
+
+bool GPSInBound(const std::pair<double, double>& p, const Params& prm) {
+  double lat2 = kLatTopLeft - prm.region_size / 111111.0;
+  double lon2 = kLonTopLeft +
+                prm.region_size / 111111.0 / std::cos(kLatTopLeft / 180.0 * kPi);
+  double m_lat = prm.margin_size / 111111.0;
+  double m_lon = prm.margin_size / 111111.0 / std::cos(kLatTopLeft / 180.0 * kPi);
+  return p.first > lat2 + m_lat && p.first < kLatTopLeft - m_lat &&
+         p.second > kLonTopLeft + m_lon && p.second < lon2 - m_lon;
+}
+
+// ---------------- minimal JSON reader for [[..],[..]] of numbers ----------
+
+struct JsonCursor {
+  const std::string& s;
+  size_t i = 0;
+  explicit JsonCursor(const std::string& str) : s(str) {}
+  void SkipWs() {
+    while (i < s.size() && std::isspace(static_cast<unsigned char>(s[i]))) i++;
+  }
+  bool Consume(char c) {
+    SkipWs();
+    if (i < s.size() && s[i] == c) {
+      i++;
+      return true;
+    }
+    return false;
+  }
+  double Number() {
+    SkipWs();
+    size_t end;
+    double v = std::stod(s.substr(i), &end);
+    i += end;
+    return v;
+  }
+};
+
+bool LoadGraphJson(const std::string& path,
+                   std::vector<std::pair<double, double>>* nodes,
+                   std::vector<std::pair<int, int>>* edges) {
+  std::ifstream f(path);
+  if (!f) return false;
+  std::stringstream ss;
+  ss << f.rdbuf();
+  std::string text = ss.str();
+  JsonCursor c(text);
+  if (!c.Consume('[')) return false;
+  // nodes
+  if (!c.Consume('[')) return false;
+  c.SkipWs();
+  if (!c.Consume(']')) {
+    do {
+      if (!c.Consume('[')) return false;
+      double lat = c.Number();
+      c.Consume(',');
+      double lon = c.Number();
+      if (!c.Consume(']')) return false;
+      nodes->emplace_back(lat, lon);
+    } while (c.Consume(','));
+    if (!c.Consume(']')) return false;
+  }
+  c.Consume(',');
+  // edges
+  if (!c.Consume('[')) return false;
+  c.SkipWs();
+  if (!c.Consume(']')) {
+    do {
+      if (!c.Consume('[')) return false;
+      int a = static_cast<int>(c.Number());
+      c.Consume(',');
+      int b = static_cast<int>(c.Number());
+      if (!c.Consume(']')) return false;
+      edges->emplace_back(a, b);
+    } while (c.Consume(','));
+    if (!c.Consume(']')) return false;
+  }
+  return true;
+}
+
+// ---------------- densified graph ----------------
+
+struct Graph {
+  std::vector<std::pair<double, double>> nodes;
+  std::unordered_map<std::string, int> loc2index;
+  std::vector<std::vector<int>> neighbors;
+
+  static std::string LocKey(const std::pair<double, double>& loc) {
+    char buf[64];
+    std::snprintf(buf, sizeof(buf), "%.7f_%.7f", loc.first, loc.second);
+    return buf;
+  }
+
+  int NodeId(const std::pair<double, double>& loc) {
+    auto key = LocKey(loc);
+    auto it = loc2index.find(key);
+    if (it != loc2index.end()) return it->second;
+    int nid = static_cast<int>(nodes.size());
+    nodes.push_back(loc);
+    neighbors.emplace_back();
+    loc2index.emplace(std::move(key), nid);
+    return nid;
+  }
+
+  void AddEdge(const std::pair<double, double>& a,
+               const std::pair<double, double>& b) {
+    int n1 = NodeId(a);
+    int n2 = NodeId(b);
+    AddNeighbor(n1, n2);
+    AddNeighbor(n2, n1);
+  }
+
+  void AddNeighbor(int a, int b) {
+    for (int x : neighbors[a])
+      if (x == b) return;
+    neighbors[a].push_back(b);
+  }
+
+  int Degree(int nid) const { return static_cast<int>(neighbors[nid].size()); }
+
+  template <typename Fn>
+  void Propagate(int nid, int step, Fn action) const {
+    // (reference: main.go:38-68)
+    if (nid < 0 || nid >= static_cast<int>(nodes.size())) return;
+    std::unordered_map<int, int> visited;
+    std::queue<int> q;
+    q.push(nid);
+    visited[nid] = 0;
+    while (!q.empty()) {
+      int cur = q.front();
+      q.pop();
+      if (visited[cur] > step) continue;
+      action(cur);
+      for (int k : neighbors[cur]) {
+        if (!visited.count(k)) {
+          q.push(k);
+          visited[k] = visited[cur] + 1;
+        }
+      }
+    }
+  }
+
+  // Multi-target Dijkstra, int centimeter weights (reference: main.go:638-695)
+  void ShortestPaths(int src, const std::vector<int>& targets,
+                     std::unordered_map<int, double>* out) const {
+    for (int t : targets) (*out)[t] = -1.0;
+    std::vector<int64_t> mindist(nodes.size(),
+                                 std::numeric_limits<int64_t>::max());
+    using Item = std::pair<int64_t, int>;
+    std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
+    mindist[src] = 0;
+    pq.emplace(0, src);
+    std::vector<char> done(nodes.size(), 0);
+    while (!pq.empty()) {
+      auto [d, cur] = pq.top();
+      pq.pop();
+      if (done[cur]) continue;
+      done[cur] = 1;
+      auto it = out->find(cur);
+      if (it != out->end()) it->second = static_cast<double>(d) / 100.0;
+      for (int nxt : neighbors[cur]) {
+        int64_t w =
+            static_cast<int64_t>(GPSDistance(nodes[cur], nodes[nxt]) * 100.0);
+        int64_t nd = d + w;
+        if (nd < mindist[nxt]) {
+          mindist[nxt] = nd;
+          pq.emplace(nd, nxt);
+        }
+      }
+    }
+  }
+};
+
+Graph Densify(const std::vector<std::pair<double, double>>& nodes,
+              const std::vector<std::pair<int, int>>& edges) {
+  // (reference: main.go:203-247)
+  Graph g;
+  for (auto [n1, n2] : edges) {
+    auto a = nodes[n1];
+    auto b = nodes[n2];
+    double d = GPSDistance(a, b);
+    if (d > 3.0) {
+      int n = static_cast<int>(d / 2.0) + 1;
+      for (int i = 0; i < n; i++) {
+        double a1 = static_cast<double>(i) / n;
+        double a2 = static_cast<double>(i + 1) / n;
+        std::pair<double, double> loc1 =
+            (i == 0) ? a
+                     : std::make_pair(a.first * (1 - a1) + b.first * a1,
+                                      a.second * (1 - a1) + b.second * a1);
+        std::pair<double, double> loc2 =
+            (i == n - 1) ? b
+                         : std::make_pair(a.first * (1 - a2) + b.first * a2,
+                                          a.second * (1 - a2) + b.second * a2);
+        g.AddEdge(loc1, loc2);
+      }
+    } else {
+      g.AddEdge(a, b);
+    }
+  }
+  return g;
+}
+
+// ---------------- grid index for 10-NN snapping ----------------
+
+struct GridIndex {
+  double cell;
+  std::unordered_map<int64_t, std::vector<int>> buckets;
+  const std::vector<std::pair<double, double>>* pts;
+
+  explicit GridIndex(const std::vector<std::pair<double, double>>& points,
+                     double cell_deg)
+      : cell(cell_deg), pts(&points) {
+    for (int i = 0; i < static_cast<int>(points.size()); i++) {
+      buckets[Key(points[i])].push_back(i);
+    }
+  }
+  int64_t Key(const std::pair<double, double>& p) const {
+    int64_t cx = static_cast<int64_t>(std::floor(p.first / cell));
+    int64_t cy = static_cast<int64_t>(std::floor(p.second / cell));
+    return cx * 2000003 + cy;
+  }
+  // k nearest by raw lat/lon euclidean distance (rtreego semantics)
+  std::vector<int> Nearest(const std::pair<double, double>& q, int k) const {
+    std::vector<std::pair<double, int>> cand;
+    int64_t cx = static_cast<int64_t>(std::floor(q.first / cell));
+    int64_t cy = static_cast<int64_t>(std::floor(q.second / cell));
+    for (int ring = 0; ring < 64; ring++) {
+      for (int64_t dx = -ring; dx <= ring; dx++) {
+        for (int64_t dy = -ring; dy <= ring; dy++) {
+          if (std::max(std::llabs(dx), std::llabs(dy)) != ring) continue;
+          auto it = buckets.find((cx + dx) * 2000003 + (cy + dy));
+          if (it == buckets.end()) continue;
+          for (int i : it->second) {
+            double a = (*pts)[i].first - q.first;
+            double b = (*pts)[i].second - q.second;
+            cand.emplace_back(a * a + b * b, i);
+          }
+        }
+      }
+      // enough candidates whose distance is certainly <= next ring's minimum
+      if (static_cast<int>(cand.size()) >= k && ring >= 2) break;
+    }
+    std::sort(cand.begin(), cand.end());
+    std::vector<int> out;
+    for (int i = 0; i < std::min<int>(k, cand.size()); i++)
+      out.push_back(cand[i].second);
+    return out;
+  }
+};
+
+std::string LocKeyGrid(const std::pair<double, double>& loc, double dist) {
+  char buf[64];
+  std::snprintf(buf, sizeof(buf), "%d_%d",
+                static_cast<int>(loc.first * 111111.0 / dist),
+                static_cast<int>(loc.second * 111111.0 / dist));
+  return buf;
+}
+
+double AplsOneWay(const Graph& gt, Graph& prop, const Params& prm) {
+  // (reference: main.go:253-541)
+  std::unordered_set<int> visited;
+  std::unordered_set<std::string> lockeys;
+  std::unordered_map<int, int> control_point_gt;
+  std::vector<char> node_cover_map_gt(gt.nodes.size(), 0);
+
+  auto mark_gt = [&](int nid) {
+    if (nid >= 0 && nid < static_cast<int>(node_cover_map_gt.size()))
+      node_cover_map_gt[nid] = 1;
+  };
+
+  int n_gt = static_cast<int>(gt.nodes.size());
+  for (int nid = 0; nid < n_gt; nid++) {
+    if (gt.Degree(nid) == 2) continue;
+    for (int next_nid : gt.neighbors[nid]) {
+      if (visited.count(next_nid)) continue;
+      std::vector<int> chain = {nid, next_nid};
+      int last = nid, cur = next_nid;
+      while (gt.Degree(cur) == 2) {
+        int s = gt.neighbors[cur][0] + gt.neighbors[cur][1];
+        int nxt = s - last;
+        last = cur;
+        cur = nxt;
+        chain.push_back(cur);
+      }
+      if (static_cast<int>(chain.size()) > prm.interval_1) {
+        int n = static_cast<int>(chain.size() / prm.interval_2) + 1;
+        for (int i = 1; i < n; i++) {
+          int idx = static_cast<int>(chain.size() *
+                                     (static_cast<double>(i) / n));
+          int cn = chain[idx];
+          if (GPSInBound(gt.nodes[cn], prm) && !node_cover_map_gt[cn]) {
+            auto lk = LocKeyGrid(gt.nodes[cn], 2.0);
+            if (!lockeys.count(lk)) {
+              lockeys.insert(lk);
+              control_point_gt[cn] = -1;
+              // reference bug preserved: propagate on the PROP graph with a
+              // GT node id (main.go:312-314)
+              prop.Propagate(cn, 4, mark_gt);
+            }
+          }
+        }
+      }
+      for (int c : chain) visited.insert(c);
+    }
+    if (GPSInBound(gt.nodes[nid], prm) &&
+        (!node_cover_map_gt[nid] || gt.Degree(nid) == 1)) {
+      auto lk = LocKeyGrid(gt.nodes[nid], 2.0);
+      if (!lockeys.count(lk)) {
+        lockeys.insert(lk);
+        control_point_gt[nid] = -1;
+        prop.Propagate(nid, 4, mark_gt);
+      }
+    }
+  }
+
+  // snap (reference: main.go:348-394)
+  std::vector<char> node_cover_map(prop.nodes.size(), 0);
+  if (!prop.nodes.empty()) {
+    GridIndex index(prop.nodes, 10.0 / 111111.0);
+    // deterministic iteration: ordered by gt node id
+    std::vector<int> cps;
+    cps.reserve(control_point_gt.size());
+    for (auto& kv : control_point_gt) cps.push_back(kv.first);
+    std::sort(cps.begin(), cps.end());
+    for (int nid1 : cps) {
+      auto q = gt.nodes[nid1];
+      for (int cand : index.Nearest(q, 10)) {
+        if (node_cover_map[cand]) continue;
+        if (GPSDistance(prop.nodes[cand], q) < 10.0) {
+          control_point_gt[nid1] = cand;
+          prop.Propagate(cand, prm.prop_step,
+                         [&](int nid) { node_cover_map[nid] = 1; });
+          break;
+        }
+      }
+    }
+  }
+
+  // shortest paths between control points (reference: main.go:410-488)
+  std::vector<int> gt_list, prop_list;
+  std::unordered_set<int> prop_seen;
+  for (auto& [cp_gt, cp_prop] : control_point_gt) {
+    if (cp_prop < 0) continue;
+    gt_list.push_back(cp_gt);
+    if (!prop_seen.count(cp_prop)) {
+      prop_seen.insert(cp_prop);
+      prop_list.push_back(cp_prop);
+    }
+  }
+  std::unordered_map<int, std::unordered_map<int, double>> sp_gt, sp_prop;
+  for (int cp : prop_list) prop.ShortestPaths(cp, prop_list, &sp_prop[cp]);
+  for (int cp : gt_list) gt.ShortestPaths(cp, gt_list, &sp_gt[cp]);
+
+  // pair scoring (reference: main.go:491-541)
+  double cc = 0.0, sum = 0.0;
+  for (auto& [cp1_gt, cp1_prop] : control_point_gt) {
+    for (auto& [cp2_gt, cp2_prop] : control_point_gt) {
+      if (cp2_gt <= cp1_gt) continue;
+      if (cp1_prop == -1 || cp2_prop == -1) {
+        cc += 1.0;
+        sum += 1.0;
+        continue;
+      }
+      double d1 = sp_gt[cp1_gt][cp2_gt];
+      if (d1 > prm.min_distance_filter) {
+        double d2 = sp_prop[cp1_prop][cp2_prop];
+        if (d2 < 0) d2 = 0;
+        double s = std::min(std::fabs(d1 - d2) / d1, 1.0);
+        cc += 1.0;
+        sum += s;
+      }
+    }
+  }
+  if (cc == 0.0) return 0.0;
+  return 1.0 - sum / cc;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr, "usage: apls gt.json prop.json out.txt [spacenet]\n");
+    return 1;
+  }
+  Params prm;
+  if (argc > 4) {
+    // spacenet small-tile parameters (reference: main.go:717-726)
+    prm.interval_2 = 10.0;
+    prm.interval_1 = static_cast<int>(prm.interval_2 * 1.5);
+    prm.min_distance_filter = 30.0;
+    prm.prop_step = 3;
+    prm.margin_size = 30.0;
+    prm.region_size = 352.0;
+  }
+
+  std::vector<std::pair<double, double>> gt_nodes, prop_nodes;
+  std::vector<std::pair<int, int>> gt_edges, prop_edges;
+  if (!LoadGraphJson(argv[1], &gt_nodes, &gt_edges)) {
+    std::fprintf(stderr, "failed to load %s\n", argv[1]);
+    return 1;
+  }
+  if (!LoadGraphJson(argv[2], &prop_nodes, &prop_edges)) {
+    std::fprintf(stderr, "failed to load %s\n", argv[2]);
+    return 1;
+  }
+
+  Graph gt_dense = Densify(gt_nodes, gt_edges);
+  Graph prop_dense = Densify(prop_nodes, prop_edges);
+
+  double apls_gt = 0.0, apls_prop = 0.0;
+  {
+    // both directions in parallel (reference: main.go:697-706 goroutines);
+    // each direction gets its own mutable copy for the coverage maps
+    Graph prop_copy = prop_dense;
+    Graph gt_copy = gt_dense;
+    std::thread t1(
+        [&] { apls_gt = AplsOneWay(gt_dense, prop_copy, prm); });
+    std::thread t2(
+        [&] { apls_prop = AplsOneWay(prop_dense, gt_copy, prm); });
+    t1.join();
+    t2.join();
+  }
+
+  std::printf("%f %f apls: %f\n", apls_gt, apls_prop,
+              (apls_gt + apls_prop) / 2.0);
+  std::ofstream out(argv[3]);
+  out << std::fixed;
+  char buf[128];
+  std::snprintf(buf, sizeof(buf), "%f %f %f\n", apls_gt, apls_prop,
+                (apls_gt + apls_prop) / 2.0);
+  out << buf;
+  return 0;
+}

@@ -88,8 +88,11 @@ def main(argv=None):
         cv2.imwrite(os.path.join(output_dir, "viz", f"{img_id}.png"), viz_img)
 
         if config.DATASET == "spacenet":
-            # (r, c) -> spacenet GT frame (reference: inferencer.py:332-334)
-            pred_nodes = np.stack([400 - pred_nodes[:, 0], pred_nodes[:, 1]], axis=1)
+            # (r, c) -> spacenet GT frame (reference: inferencer.py:332-334;
+            # 400 there == tile size, generalized for IMAGE_SIZE overrides)
+            pred_nodes = np.stack(
+                [img_size - pred_nodes[:, 0], pred_nodes[:, 1]], axis=1
+            )
         large_map = convert_to_sat2graph_format(pred_nodes, pred_edges)
         with open(os.path.join(output_dir, "graph", f"{img_id}.p"), "wb") as f:
             pickle.dump(large_map, f)
