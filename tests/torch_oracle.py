@@ -294,3 +294,211 @@ def make_oracle_map_decoder(in_dim=32):
         nn.GELU(),
         nn.ConvTranspose2d(32, 2, kernel_size=2, stride=2),
     )
+
+
+# ---------------- SAM mask-decoder oracle (null-prompt path) ----------------
+
+
+class OracleSamAttention(nn.Module):
+    def __init__(self, embedding_dim, num_heads, downsample_rate=1):
+        super().__init__()
+        self.embedding_dim = embedding_dim
+        self.internal_dim = embedding_dim // downsample_rate
+        self.num_heads = num_heads
+        self.q_proj = nn.Linear(embedding_dim, self.internal_dim)
+        self.k_proj = nn.Linear(embedding_dim, self.internal_dim)
+        self.v_proj = nn.Linear(embedding_dim, self.internal_dim)
+        self.out_proj = nn.Linear(self.internal_dim, embedding_dim)
+
+    def _heads(self, x):
+        b, n, c = x.shape
+        x = x.reshape(b, n, self.num_heads, c // self.num_heads)
+        return x.transpose(1, 2)
+
+    def forward(self, q, k, v):
+        q = self._heads(self.q_proj(q))
+        k = self._heads(self.k_proj(k))
+        v = self._heads(self.v_proj(v))
+        c_per_head = q.shape[-1]
+        attn = q @ k.permute(0, 1, 3, 2) / math.sqrt(c_per_head)
+        attn = torch.softmax(attn, dim=-1)
+        out = attn @ v
+        b, nh, n, ch = out.shape
+        out = out.transpose(1, 2).reshape(b, n, nh * ch)
+        return self.out_proj(out)
+
+
+class OracleSamMLPBlock(nn.Module):
+    def __init__(self, embedding_dim, mlp_dim):
+        super().__init__()
+        self.lin1 = nn.Linear(embedding_dim, mlp_dim)
+        self.lin2 = nn.Linear(mlp_dim, embedding_dim)
+
+    def forward(self, x):
+        return self.lin2(torch.relu(self.lin1(x)))
+
+
+class OracleTwoWayAttentionBlock(nn.Module):
+    def __init__(self, embedding_dim, num_heads, mlp_dim, skip_first_layer_pe):
+        super().__init__()
+        self.self_attn = OracleSamAttention(embedding_dim, num_heads)
+        self.norm1 = nn.LayerNorm(embedding_dim)
+        self.cross_attn_token_to_image = OracleSamAttention(
+            embedding_dim, num_heads, downsample_rate=2
+        )
+        self.norm2 = nn.LayerNorm(embedding_dim)
+        self.mlp = OracleSamMLPBlock(embedding_dim, mlp_dim)
+        self.norm3 = nn.LayerNorm(embedding_dim)
+        self.norm4 = nn.LayerNorm(embedding_dim)
+        self.cross_attn_image_to_token = OracleSamAttention(
+            embedding_dim, num_heads, downsample_rate=2
+        )
+        self.skip_first_layer_pe = skip_first_layer_pe
+
+    def forward(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_layer_pe:
+            queries = self.self_attn(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + self.cross_attn_token_to_image(q, k, keys)
+        queries = self.norm2(queries)
+        queries = queries + self.mlp(queries)
+        queries = self.norm3(queries)
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + self.cross_attn_image_to_token(k, q, queries)
+        keys = self.norm4(keys)
+        return queries, keys
+
+
+class OracleTwoWayTransformer(nn.Module):
+    def __init__(self, depth=2, embedding_dim=256, num_heads=8, mlp_dim=2048):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [
+                OracleTwoWayAttentionBlock(
+                    embedding_dim, num_heads, mlp_dim, skip_first_layer_pe=(i == 0)
+                )
+                for i in range(depth)
+            ]
+        )
+        self.final_attn_token_to_image = OracleSamAttention(
+            embedding_dim, num_heads, downsample_rate=2
+        )
+        self.norm_final_attn = nn.LayerNorm(embedding_dim)
+
+    def forward(self, image_embedding, image_pe, point_embedding):
+        b, c, h, w = image_embedding.shape
+        image_embedding = image_embedding.flatten(2).permute(0, 2, 1)
+        image_pe = image_pe.flatten(2).permute(0, 2, 1)
+        queries = point_embedding
+        keys = image_embedding
+        for layer in self.layers:
+            queries, keys = layer(queries, keys, point_embedding, image_pe)
+        q = queries + point_embedding
+        k = keys + image_pe
+        queries = queries + self.final_attn_token_to_image(q, k, keys)
+        queries = self.norm_final_attn(queries)
+        return queries, keys
+
+
+class OracleSamMLP(nn.Module):
+    def __init__(self, input_dim, hidden_dim, output_dim, num_layers):
+        super().__init__()
+        h = [hidden_dim] * (num_layers - 1)
+        self.layers = nn.ModuleList(
+            nn.Linear(n, k) for n, k in zip([input_dim] + h, h + [output_dim])
+        )
+
+    def forward(self, x):
+        for i, layer in enumerate(self.layers):
+            x = torch.relu(layer(x)) if i < len(self.layers) - 1 else layer(x)
+        return x
+
+
+class OracleSamDecoderHead(nn.Module):
+    """Null-prompt PromptEncoder + MaskDecoder, multimask path, with torch
+    state-dict keys matching the SAM checkpoints."""
+
+    def __init__(self, image_size, embed_dim=256, num_multimask_outputs=2):
+        super().__init__()
+        self.image_size = image_size
+        self.num_mask_tokens = num_multimask_outputs + 1
+        # prompt encoder pieces
+        self.pe_gaussian = nn.Parameter(torch.randn(2, embed_dim // 2))
+        self.no_mask_embed = nn.Embedding(1, embed_dim)
+        # mask decoder
+        self.iou_token = nn.Embedding(1, embed_dim)
+        self.mask_tokens = nn.Embedding(self.num_mask_tokens, embed_dim)
+        self.transformer = OracleTwoWayTransformer()
+        self.output_upscaling = nn.Sequential(
+            nn.ConvTranspose2d(embed_dim, embed_dim // 4, 2, 2),
+            OracleLayerNorm2d(embed_dim // 4),
+            nn.GELU(),
+            nn.ConvTranspose2d(embed_dim // 4, embed_dim // 8, 2, 2),
+            nn.GELU(),
+        )
+        self.output_hypernetworks_mlps = nn.ModuleList(
+            [
+                OracleSamMLP(embed_dim, embed_dim, embed_dim // 8, 3)
+                for _ in range(self.num_mask_tokens)
+            ]
+        )
+        self.iou_prediction_head = OracleSamMLP(embed_dim, 256, self.num_mask_tokens, 3)
+
+    def dense_pe(self, h, w):
+        ys = (torch.arange(h, dtype=torch.float32) + 0.5) / h
+        xs = (torch.arange(w, dtype=torch.float32) + 0.5) / w
+        grid = torch.stack(torch.meshgrid(ys, xs, indexing="ij"), dim=-1)
+        coords = 2 * grid - 1
+        proj = coords @ self.pe_gaussian * (2 * math.pi)
+        pe = torch.cat([torch.sin(proj), torch.cos(proj)], dim=-1)
+        return pe.permute(2, 0, 1).unsqueeze(0)  # (1, C, h, w)
+
+    def forward(self, image_embeddings):  # NCHW
+        b, c, h, w = image_embeddings.shape
+        dense = self.no_mask_embed.weight.reshape(1, -1, 1, 1)
+        src = image_embeddings + dense
+        pos_src = self.dense_pe(h, w).expand(b, -1, -1, -1)
+        output_tokens = torch.cat(
+            [self.iou_token.weight, self.mask_tokens.weight], dim=0
+        )
+        tokens = output_tokens.unsqueeze(0).expand(b, -1, -1)
+        hs, keys = self.transformer(src, pos_src, tokens)
+        mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens, :]
+        upscaled = self.output_upscaling(
+            keys.transpose(1, 2).reshape(b, c, h, w)
+        )
+        hyper_in = torch.stack(
+            [
+                self.output_hypernetworks_mlps[i](mask_tokens_out[:, i, :])
+                for i in range(self.num_mask_tokens)
+            ],
+            dim=1,
+        )
+        bb, cc, hh, ww = upscaled.shape
+        masks = (hyper_in @ upscaled.reshape(bb, cc, hh * ww)).reshape(
+            bb, -1, hh, ww
+        )
+        masks = masks[:, 1:, :, :]
+        masks = F.interpolate(
+            masks, (self.image_size, self.image_size), mode="bilinear",
+            align_corners=False,
+        )
+        return masks
+
+    def sam_state_dict(self):
+        """Rename params to the SAM checkpoint layout."""
+        sd = {}
+        for k, v in self.state_dict().items():
+            if k == "pe_gaussian":
+                sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = v
+            elif k == "no_mask_embed.weight":
+                sd["prompt_encoder.no_mask_embed.weight"] = v
+            else:
+                sd["mask_decoder." + k] = v
+        return sd
