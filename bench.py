@@ -7,15 +7,15 @@ Prints ONE JSON line:
 
 vs_baseline uses REF_A100_REGION_SECONDS, an estimate of the reference
 PyTorch pipeline's per-region wall time on an A100-class GPU (the reference
-commits no number in-tree — BASELINE.md; its inference_time.txt mechanism
-reports ~20-30 s/region for the two-phase 256-patch pipeline with host-side
-NMS and Python aggregation loops). Update when a measured reference number is
-available.
+commits no number in-tree — see BASELINE.md; its two-phase 256-patch pipeline
+with host-side NMS and Python aggregation loops lands in the tens of seconds
+per 2048px region). Update when a measured reference number is available.
 
-Weights are random-init (throughput is weight-agnostic); decoder output
-biases are offset so mask densities match real road scenes (~8% road, ~1%
-keypoint), giving the host extraction/NMS stage a realistic workload instead
-of a degenerate all-above-threshold one.
+Weights are random-init (throughput is weight-agnostic). Thresholds are
+calibrated from the actual mask-score distribution so vertex extraction and
+TopoNet scoring run at a realistic workload (a few thousand graph vertices
+per region, matching real road scenes) instead of a degenerate empty or
+all-pixels one.
 """
 
 import json
@@ -27,34 +27,42 @@ REF_A100_REGION_SECONDS = 25.0  # documented estimate, see module docstring
 
 
 def main():
+    import jax.numpy as jnp
+
     from sam_road_tpu.config import load_config
     from sam_road_tpu.inference.engine import TiledInferenceEngine
-    from sam_road_tpu.models.sam_road import init_params
+    from sam_road_tpu.models.sam_road import SAMRoad, build_model, init_params
 
-    config = load_config(
-        overrides=dict(
-            DATASET="cityscale",
-            PATCH_SIZE=512,
-            INFER_BATCH_SIZE=32,
-            INFER_PATCHES_PER_EDGE=16,
-            SAMPLE_MARGIN=64,
-            COMPUTE_DTYPE="bfloat16",
-            TOPO_SAMPLE_NUM=512,
-        )
+    base = dict(
+        DATASET="cityscale",
+        PATCH_SIZE=512,
+        INFER_BATCH_SIZE=32,
+        INFER_PATCHES_PER_EDGE=16,
+        SAMPLE_MARGIN=64,
+        COMPUTE_DTYPE="bfloat16",
+        TOPO_SAMPLE_NUM=512,
     )
+    config = load_config(overrides=base)
     params = init_params(config)
-    # Shift decoder output bias so sigmoid(mask) densities look like real
-    # scenes: keypoint ~1%, road ~8% above threshold.
-    bias = np.asarray(params["map_decoder"]["up_4"]["bias"]).copy()
-    bias[:] = (-4.0, -2.0)
-    params["map_decoder"]["up_4"]["bias"] = bias
-
-    engine = TiledInferenceEngine(config, params)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(2048, 2048, 3), dtype=np.uint8)
 
-    # Warmup: compile phase-1/phase-2 programs.
-    engine.infer_one_img(img)
+    # Calibrate thresholds from one probe patch: road candidates ~8% of
+    # pixels, keypoint candidates ~1% (realistic road-scene densities).
+    model = build_model(config)
+    probe = jnp.asarray(img[None, :512, :512].astype(np.float32))
+    scores, _ = model.apply(
+        {"params": params}, probe, method=SAMRoad.infer_masks_and_features
+    )
+    scores = np.asarray(scores[0], np.float32)
+    itsc_thr = float(np.quantile(scores[..., 0], 0.99))
+    road_thr = float(np.quantile(scores[..., 1], 0.92))
+    config = load_config(
+        overrides=dict(base, ITSC_THRESHOLD=itsc_thr, ROAD_THRESHOLD=road_thr)
+    )
+
+    engine = TiledInferenceEngine(config, params)
+    nodes, edges, _, _ = engine.infer_one_img(img)  # warmup + workload check
 
     times = []
     for _ in range(3):
@@ -70,6 +78,11 @@ def main():
                 "value": round(region_s, 3),
                 "unit": "s",
                 "vs_baseline": round(REF_A100_REGION_SECONDS / region_s, 2),
+                "detail": {
+                    "timings": {k: round(v, 3) for k, v in engine.last_timings.items()},
+                    "nodes": int(nodes.shape[0]),
+                    "edges": int(edges.shape[0]),
+                },
             }
         )
     )

