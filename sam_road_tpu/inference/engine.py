@@ -44,14 +44,50 @@ def _round_up(x: int, m: int) -> int:
 class TiledInferenceEngine:
     """Runs whole-region inference with a fixed config + parameter set."""
 
-    def __init__(self, config, params, point_bucket: int = 64):
+    def __init__(self, config, params, point_bucket: int = 64, mesh=None):
+        """
+        Args:
+          mesh: optional jax.sharding.Mesh with a 'dp' axis. When given with
+            more than one device, each patch batch is sharded across chips:
+            every chip crops/encodes its patch shard and accumulates into its
+            own fused-mask replica; the replicas are summed once at finalize
+            (addition is commutative, so results match single-chip exactly up
+            to float summation order). This is the region-scale-out path the
+            reference lacks (its pipeline is single-GPU, SURVEY §2.2).
+        """
         self.config = config
         self.model = build_model(config)
-        self.params = jax.device_put(params)
+        self.mesh = mesh
+        self.n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         self.point_bucket = point_bucket
         self.patch_size = int(config.PATCH_SIZE)
         self.batch_size = int(config.INFER_BATCH_SIZE)
-        self._phase1 = jax.jit(self._phase1_impl, donate_argnums=(4, 5))
+        if self.n_shards > 1:
+            assert self.batch_size % self.n_shards == 0, (
+                f"INFER_BATCH_SIZE {self.batch_size} must divide by mesh size "
+                f"{self.n_shards}"
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._shard = NamedSharding(mesh, P("dp"))
+            self._rep = rep
+            self.params = jax.device_put(params, rep)
+            sharded = jax.shard_map(
+                self._phase1_local,
+                mesh=mesh,
+                in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp"), P("dp")),
+                check_vma=False,
+            )
+            self._phase1 = jax.jit(sharded, donate_argnums=(4, 5))
+            self._finalize = jax.jit(
+                lambda f, c: self._finalize_impl(f.sum(0), c.sum(0))
+            )
+        else:
+            self.params = jax.device_put(params)
+            self._phase1 = jax.jit(self._phase1_impl, donate_argnums=(4, 5))
+            self._finalize = jax.jit(self._finalize_impl, donate_argnums=(0, 1))
         self._phase2 = jax.jit(self._phase2_impl)
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
@@ -59,13 +95,19 @@ class TiledInferenceEngine:
 
     # ---------- jitted programs ----------
 
-    def _phase1_impl(self, params, patches_u8, x0s, y0s, fused, counter, weights):
-        """One patch batch: masks + features + on-device fusion.
+    def _phase1_impl(self, params, img_u8, x0s, y0s, fused, counter, weights):
+        """One patch batch: on-device patch crops + masks + features + fusion.
 
-        patches_u8: [B, P, P, 3] uint8; x0s/y0s: [B] int32 patch origins;
-        fused: [H, W, 2] f32 accumulator; counter: [H, W] f32;
-        weights: [B] f32 (0 for padding patches in the last batch).
+        img_u8: [H, W, 3] uint8 — the whole region, resident in HBM (shipped
+        over the host link ONCE per region; the reference re-uploads every
+        patch, inferencer.py:91-94, which costs ~16x the bytes).
+        x0s/y0s: [B] int32 patch origins; fused: [H, W, 2] f32 accumulator;
+        counter: [H, W] f32; weights: [B] f32 (0 for padding patches).
         """
+        p = self.patch_size
+        patches_u8 = jax.vmap(
+            lambda x0, y0: jax.lax.dynamic_slice(img_u8, (y0, x0, 0), (p, p, 3))
+        )(x0s, y0s)
         rgb = patches_u8.astype(jnp.float32)
         mask_scores, feats = self.model.apply(
             {"params": params}, rgb, method=SAMRoad.infer_masks_and_features
@@ -87,6 +129,23 @@ class TiledInferenceEngine:
             0, patches_u8.shape[0], body, (fused, counter)
         )
         return feats, fused, counter
+
+    def _phase1_local(self, params, img_u8, x0s, y0s, fused, counter, weights):
+        """Per-device body for the sharded phase 1: identical math on the
+        local patch shard, accumulating into the local fused replica
+        (leading axis 1 = this device's slot)."""
+        feats, f, c = self._phase1_impl(
+            params, img_u8, x0s, y0s, fused[0], counter[0], weights
+        )
+        return feats, f[None], c[None]
+
+    def _finalize_impl(self, fused, counter):
+        """Average + quantize masks on device so only uint8 leaves the chip
+        (the reference downloads fp32 then converts on host,
+        inferencer.py:106-110)."""
+        avg = fused / jnp.maximum(counter[..., None], 1e-20)
+        avg = jnp.where(counter[..., None] > 0, avg, 0.0)
+        return (avg * 255.0).astype(jnp.uint8)
 
     def _phase2_impl(self, params, feats, points, pairs, valid):
         return self.model.apply(
@@ -121,36 +180,46 @@ class TiledInferenceEngine:
         B = self.batch_size
         batch_num = (patch_num + B - 1) // B
 
-        fused = jnp.zeros((image_size, image_size, 2), jnp.float32)
-        counter = jnp.zeros((image_size, image_size), jnp.float32)
+        if self.n_shards > 1:
+            fused = jax.device_put(
+                jnp.zeros((self.n_shards, image_size, image_size, 2), jnp.float32),
+                self._shard,
+            )
+            counter = jax.device_put(
+                jnp.zeros((self.n_shards, image_size, image_size), jnp.float32),
+                self._shard,
+            )
+            img_dev = jax.device_put(np.ascontiguousarray(img), self._rep)
+        else:
+            fused = jnp.zeros((image_size, image_size, 2), jnp.float32)
+            counter = jnp.zeros((image_size, image_size), jnp.float32)
+            # one upload of the whole region (uint8), resident for all batches
+            img_dev = jax.device_put(np.ascontiguousarray(img))
+
+        def put_batch(x):
+            if self.n_shards > 1:
+                return jax.device_put(x, self._shard)
+            return jnp.asarray(x)
 
         # ---- phase 1: masks + cached features ----
         img_features = []
         for bi in range(batch_num):
             info = all_patch_info[bi * B : (bi + 1) * B]
-            n_real = len(info)
-            patches = np.zeros((B, self.patch_size, self.patch_size, 3), np.uint8)
             x0s = np.zeros((B,), np.int32)
             y0s = np.zeros((B,), np.int32)
             weights = np.zeros((B,), np.float32)
             for i, (_, (x0, y0), (x1, y1)) in enumerate(info):
-                patches[i] = img[y0:y1, x0:x1, :]
                 x0s[i], y0s[i] = x0, y0
                 weights[i] = 1.0
-            del n_real
             feats, fused, counter = self._phase1(
-                self.params, jnp.asarray(patches), jnp.asarray(x0s),
-                jnp.asarray(y0s), fused, counter, jnp.asarray(weights),
+                self.params, img_dev, put_batch(x0s),
+                put_batch(y0s), fused, counter, put_batch(weights),
             )
             img_features.append(feats)
 
-        fused = np.asarray(fused)
-        counter = np.asarray(counter)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            fused = fused / counter[..., None]
-        fused = np.nan_to_num(fused, nan=0.0)
-        fused_keypoint_mask = (fused[..., 0] * 255).astype(np.uint8)
-        fused_road_mask = (fused[..., 1] * 255).astype(np.uint8)
+        masks_u8 = np.asarray(self._finalize(fused, counter))
+        fused_keypoint_mask = np.ascontiguousarray(masks_u8[..., 0])
+        fused_road_mask = np.ascontiguousarray(masks_u8[..., 1])
         t1 = time.time()
 
         # ---- vertex extraction (host) ----
@@ -221,8 +290,8 @@ class TiledInferenceEngine:
                 bvalid[i, :n] = valid
 
             scores = self._phase2(
-                self.params, img_features[bi], jnp.asarray(bpoints),
-                jnp.asarray(bpairs), jnp.asarray(bvalid),
+                self.params, img_features[bi], put_batch(bpoints),
+                put_batch(bpairs), put_batch(bvalid),
             )
             scores = np.nan_to_num(np.asarray(scores), nan=-100.0)[..., 0]
 
