@@ -51,9 +51,27 @@ def nms_points(points, scores, radius, return_indices: bool = False):
     keys_sorted = keys[order]
     r2 = float(radius) * float(radius)
 
-    for idx in range(n):
+    # Walk points in score order, but skip suppressed runs with vectorized
+    # scans instead of a per-element Python check — at mask-extraction
+    # densities (10^5-10^6 candidates, ~10^4 survivors) the per-element loop
+    # dominates the region-inference host time.
+    idx = 0
+    chunk = 4096
+    while idx < n:
         if not kept[idx]:
-            continue
+            # find the next kept index in chunks
+            nxt = -1
+            start = idx
+            while start < n:
+                window = kept[start : start + chunk]
+                hits = np.flatnonzero(window)
+                if hits.size:
+                    nxt = start + int(hits[0])
+                    break
+                start += chunk
+            if nxt < 0:
+                break
+            idx = nxt
         # Gather candidates from the 3x3 cell neighborhood.
         cands = []
         for dx in (-1, 0, 1):
@@ -64,13 +82,13 @@ def nms_points(points, scores, radius, return_indices: bool = False):
             hi = np.searchsorted(keys_sorted, col * ny + cy[idx] + 1, "right")
             if hi > lo:
                 cands.append(order[lo:hi])
-        if not cands:
-            continue
-        cand = np.concatenate(cands)
-        d = sorted_points[cand] - sorted_points[idx]
-        nbr = cand[(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) <= r2]
-        kept[nbr] = immune[nbr]
-        kept[idx] = True
+        if cands:
+            cand = np.concatenate(cands)
+            d = sorted_points[cand] - sorted_points[idx]
+            nbr = cand[(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) <= r2]
+            kept[nbr] = immune[nbr]
+            kept[idx] = True
+        idx += 1
 
     if return_indices:
         return sorted_points[kept], sorted_indices[kept]

@@ -41,6 +41,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_size(x: int, minimum: int) -> int:
+    """Next power of two >= max(x, minimum): phase-2 pads point counts to a
+    tiny set of shapes because every new shape is a fresh XLA compile (and
+    compiles are expensive on remote-attached TPUs)."""
+    size = max(int(minimum), 1)
+    while size < x:
+        size *= 2
+    return size
+
+
 class TiledInferenceEngine:
     """Runs whole-region inference with a fixed config + parameter set."""
 
@@ -279,7 +289,7 @@ class TiledInferenceEngine:
             if max_pts == 0:
                 continue
             # pad to shape bucket to bound recompiles
-            S = _round_up(max_pts, self.point_bucket)
+            S = _bucket_size(max_pts, self.point_bucket)
             bpoints = np.zeros((B, S, 2), np.float32)
             bpairs = np.zeros((B, S, max_nbr, 2), np.int32)
             bvalid = np.zeros((B, S, max_nbr), bool)
