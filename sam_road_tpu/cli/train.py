@@ -11,7 +11,6 @@ never passes it to trainer.fit, reference: train.py:26-28,104).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 import numpy as np
@@ -28,6 +27,8 @@ def main(argv=None):
     parser.add_argument("--data_root", default=".")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--wandb", action="store_true",
+                        help="also log to wandb if installed")
     args = parser.parse_args(argv)
 
     from sam_road_tpu.config import create_output_dir_and_save_config, load_config
@@ -72,20 +73,26 @@ def main(argv=None):
     val_loader = BatchLoader(val_ds, batch_size, seed=args.seed,
                              num_batches=max(1, len(val_ds) // batch_size))
 
+    from sam_road_tpu.utils.logging import MetricsLogger
+    from sam_road_tpu.utils.profiling import maybe_trace
+
+    logger = MetricsLogger(output_dir, config=config,
+                           use_wandb=args.wandb, disabled=dev_run)
     trainer = Trainer(
         config=config, params=params, output_dir=output_dir,
-        steps_per_epoch=steps_per_epoch,
+        steps_per_epoch=steps_per_epoch, logger=logger,
     )
     epochs = 1 if args.fast_dev_run else int(config.TRAIN_EPOCHS)
     for epoch in range(epochs):
-        trainer.train_epoch(train_loader, epoch)
+        with maybe_trace(config.TRACE_DIR or None):
+            trainer.train_epoch(train_loader, epoch)
         metrics = trainer.validate(val_loader)
         printable = {k: v for k, v in metrics.items() if not k.startswith("_")}
         print(f"epoch {epoch} val: {printable}", flush=True)
         ckpt = trainer.save_checkpoint(epoch)
-        with open(os.path.join(output_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps({"epoch": epoch, **printable}) + "\n")
+        logger.log({"epoch": epoch, **printable})
         print(f"saved {ckpt}", flush=True)
+    logger.finish()
 
 
 if __name__ == "__main__":

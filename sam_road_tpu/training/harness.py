@@ -195,6 +195,7 @@ class Trainer:
     steps_per_epoch: int
     log_every: int = 50
     mesh: Any = None
+    logger: Any = None  # MetricsLogger-compatible (optional)
 
     def __post_init__(self):
         cfg = self.config
@@ -224,6 +225,11 @@ class Trainer:
                 aux = {k: float(v) for k, v in aux.items()}
                 aux.update(epoch=epoch, batch=i)
                 logs.append(aux)
+                if self.logger is not None:
+                    self.logger.log(
+                        {f"train_{k}": v for k, v in aux.items()},
+                        step=int(self.state.step),
+                    )
                 print(
                     f"epoch {epoch} step {i}/{len(loader)} "
                     f"loss {aux['loss']:.4f} mask {aux['mask_loss']:.4f} "
