@@ -70,13 +70,18 @@ def main(argv=None):
     engine = TiledInferenceEngine(config, params)
     import cv2
 
+    # Preload tiles (the reference reads lazily, inferencer.py:276, but
+    # pipelined inference wants the next tile available at dispatch time).
+    imgs = [read_rgb_img(rgb_pattern.format(i)) for i in test_img_indices]
+
     total_inference_seconds = 0.0
-    for img_id in test_img_indices:
+    loop_start = time.time()
+    for img_id, img, result in zip(
+        test_img_indices, imgs, engine.infer_tiles(imgs)
+    ):
         print(f"Processing {img_id}", flush=True)
-        img = read_rgb_img(rgb_pattern.format(img_id))
-        start_seconds = time.time()
-        pred_nodes, pred_edges, itsc_mask, road_mask = engine.infer_one_img(img)
-        total_inference_seconds += time.time() - start_seconds
+        pred_nodes, pred_edges, itsc_mask, road_mask = result
+        total_inference_seconds = time.time() - loop_start
 
         cv2.imwrite(os.path.join(output_dir, "mask", f"{img_id}_road.png"), road_mask)
         cv2.imwrite(os.path.join(output_dir, "mask", f"{img_id}_itsc.png"), itsc_mask)

@@ -192,16 +192,21 @@ def collate_batch(samples, point_bucket: int = 128) -> dict:
 
 
 class BatchLoader:
-    """Thread-prefetched batch iterator over a SatMapDataset."""
+    """Thread-prefetched batch iterator over a SatMapDataset.
+
+    Training uses `num_workers` producer threads (label generation is
+    numpy-dominated, so threads scale despite the GIL); evaluation keeps a
+    single producer so the deterministic patch order is preserved."""
 
     def __init__(self, dataset: SatMapDataset, batch_size: int, seed: int = 0,
                  point_bucket: int = 128, prefetch: int = 4,
-                 num_batches: int | None = None):
+                 num_batches: int | None = None, num_workers: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.point_bucket = point_bucket
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers) if dataset.is_train else 1
         if num_batches is None:
             num_batches = len(dataset) // batch_size
         self.num_batches = num_batches
@@ -212,14 +217,20 @@ class BatchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        batch_counter = iter(range(self.num_batches))
+        counter_lock = threading.Lock()
 
-        def worker():
-            rng = np.random.default_rng(self.seed)
-            order = None
-            if not self.dataset.is_train:
-                order = np.arange(len(self.dataset))
-            for bi in range(self.num_batches):
-                if stop.is_set():
+        order = None
+        if not self.dataset.is_train:
+            order = np.arange(len(self.dataset))
+
+        def worker(wid: int):
+            rng = np.random.default_rng(self.seed + 1000003 * wid)
+            while not stop.is_set():
+                with counter_lock:
+                    bi = next(batch_counter, None)
+                if bi is None:
+                    q.put(None)
                     return
                 samples = []
                 for i in range(self.batch_size):
@@ -230,15 +241,22 @@ class BatchLoader:
                     )
                     samples.append(self.dataset.sample(idx, rng))
                 q.put(collate_batch(samples, self.point_bucket))
-            q.put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        finished = 0
+        produced = 0
         try:
-            while True:
+            while finished < self.num_workers and produced < self.num_batches:
                 batch = q.get()
                 if batch is None:
-                    return
+                    finished += 1
+                    continue
+                produced += 1
                 yield batch
         finally:
             stop.set()

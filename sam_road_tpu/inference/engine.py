@@ -169,16 +169,10 @@ class TiledInferenceEngine:
 
     # ---------- host orchestration ----------
 
-    def infer_one_img(self, img: np.ndarray):
-        """Full-region inference (reference: inferencer.py:61-234).
-
-        Args:
-          img: [H, W, 3] uint8 RGB region (square).
-
-        Returns:
-          (pred_nodes [N, 2] (r, c), pred_edges [E, 2],
-           fused_keypoint_mask uint8, fused_road_mask uint8)
-        """
+    def _run_phase1(self, img: np.ndarray):
+        """Dispatch phase 1 for a region (asynchronous: returns device arrays
+        that may still be computing). Enables tile pipelining: the device
+        encodes tile N+1 while the host extracts/builds pairs for tile N."""
         cfg = self.config
         t0 = time.time()
         image_size = img.shape[0]
@@ -227,7 +221,28 @@ class TiledInferenceEngine:
             )
             img_features.append(feats)
 
-        masks_u8 = np.asarray(self._finalize(fused, counter))
+        masks_dev = self._finalize(fused, counter)
+        return dict(
+            image_size=image_size,
+            all_patch_info=all_patch_info,
+            batch_num=batch_num,
+            img_features=img_features,
+            masks_dev=masks_dev,
+            put_batch=put_batch,
+            t0=t0,
+        )
+
+    def _finish(self, p1: dict):
+        """Host half: fetch masks, extract vertices, score + aggregate edges."""
+        cfg = self.config
+        t0 = p1["t0"]
+        all_patch_info = p1["all_patch_info"]
+        batch_num = p1["batch_num"]
+        img_features = p1["img_features"]
+        put_batch = p1["put_batch"]
+        B = self.batch_size
+
+        masks_u8 = np.asarray(p1["masks_dev"])  # sync point
         fused_keypoint_mask = np.ascontiguousarray(masks_u8[..., 0])
         fused_road_mask = np.ascontiguousarray(masks_u8[..., 1])
         t1 = time.time()
@@ -346,6 +361,33 @@ class TiledInferenceEngine:
             "total": time.time() - t0,
         }
         return pred_nodes, pred_edges, fused_keypoint_mask, fused_road_mask
+
+    def infer_one_img(self, img: np.ndarray):
+        """Full-region inference (reference: inferencer.py:61-234).
+
+        Args:
+          img: [H, W, 3] uint8 RGB region (square).
+
+        Returns:
+          (pred_nodes [N, 2] (r, c), pred_edges [E, 2],
+           fused_keypoint_mask uint8, fused_road_mask uint8)
+        """
+        return self._finish(self._run_phase1(img))
+
+    def infer_tiles(self, imgs):
+        """Pipelined multi-tile inference: yields infer_one_img results in
+        order, but dispatches each tile's phase 1 before doing the previous
+        tile's host-side work, overlapping device encode with host
+        extraction (the reference processes tiles strictly serially,
+        inferencer.py:273-281)."""
+        prev = None
+        for img in imgs:
+            cur = self._run_phase1(img)
+            if prev is not None:
+                yield self._finish(prev)
+            prev = cur
+        if prev is not None:
+            yield self._finish(prev)
 
 
 def infer_one_img(config, params, img):

@@ -63,7 +63,14 @@ class ModelSpec:
 
 
 class SAMRoad(nn.Module):
-    """Keypoint/road mask prediction + local topology scoring."""
+    """Keypoint/road mask prediction + local topology scoring.
+
+    NO_SAM ablation note: the reference's no-SA-1B variant depends on
+    detectron2 and raises NotImplementedError in its release (reference:
+    model.py:232-242, vitdet.py). Here NO_SAM simply skips the SAM checkpoint
+    load — the same ViTDet-style encoder trains from random init (a working
+    superset of the reference's disabled path).
+    """
 
     spec: ModelSpec
 

@@ -79,6 +79,7 @@ class Attention(nn.Module):
     input_size: tuple
     use_rel_pos: bool = True
     lora_rank: int = 0
+    use_flash: bool = True  # Pallas fused attention for large token counts
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -159,18 +160,24 @@ class Attention(nn.Module):
                 ],
                 axis=-1,
             )
-            attn = jnp.einsum(
-                "bhnd,bhmd->bhnm", q_aug, k_aug,
-                preferred_element_type=jnp.float32,
-            )
+            q_eff, k_eff = q_aug, k_aug
+        else:
+            q_eff, k_eff = q * scale, k
+
+        if self.use_flash and H * W >= 256:
+            # Global blocks: keep the (N, N) scores in VMEM via the Pallas
+            # kernel (interpret mode off-TPU so tests cover the same path).
+            from sam_road_tpu.ops.attention import fused_attention
+
+            interpret = jax.default_backend() != "tpu"
+            out = fused_attention(q_eff, k_eff, v, interpret)
         else:
             attn = jnp.einsum(
-                "bhnd,bhmd->bhnm", q * scale, k,
+                "bhnd,bhmd->bhnm", q_eff, k_eff,
                 preferred_element_type=jnp.float32,
             )
-
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
 
@@ -211,6 +218,7 @@ class Block(nn.Module):
     input_size: tuple  # full token grid (H, W)
     use_rel_pos: bool = True
     lora_rank: int = 0
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -230,6 +238,7 @@ class Block(nn.Module):
             input_size=attn_size,
             use_rel_pos=self.use_rel_pos,
             lora_rank=self.lora_rank,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="attn",
         )(h)
@@ -261,6 +270,7 @@ class ImageEncoderViT(nn.Module):
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     lora_rank: int = 0  # >0 adds LoRA q/v adapters to every block
     remat: bool = False
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -295,6 +305,7 @@ class ImageEncoderViT(nn.Module):
                 input_size=(grid, grid),
                 use_rel_pos=self.use_rel_pos,
                 lora_rank=self.lora_rank,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

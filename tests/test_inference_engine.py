@@ -116,3 +116,17 @@ def test_mask_fusion_matches_host_oracle(tiny_setup):
     # identical up to float accumulation order; allow 1 uint8 step
     assert np.abs(kp_mask.astype(int) - want_kp.astype(int)).max() <= 1
     assert np.abs(road_mask.astype(int) - want_road.astype(int)).max() <= 1
+
+
+def test_infer_tiles_pipelined_matches_sequential(tiny_setup):
+    cfg, params = tiny_setup
+    engine = TiledInferenceEngine(cfg, params, point_bucket=16)
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (256, 256, 3), dtype=np.uint8) for _ in range(3)]
+    seq = [engine.infer_one_img(im) for im in imgs]
+    piped = list(engine.infer_tiles(imgs))
+    assert len(piped) == 3
+    for (n1, e1, k1, r1), (n2, e2, k2, r2) in zip(seq, piped):
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(e1, e2)
+        np.testing.assert_array_equal(k1, k2)
