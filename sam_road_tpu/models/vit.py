@@ -23,7 +23,7 @@ blocks_i.attn.qkv, neck_0...) so conversion is a mechanical transpose
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -79,7 +79,7 @@ class Attention(nn.Module):
     input_size: tuple
     use_rel_pos: bool = True
     lora_rank: int = 0
-    use_flash: bool = True  # Pallas fused attention for large token counts
+    use_flash: Any = True  # True: Pallas on TPU; "always": incl. interpret
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,13 +164,15 @@ class Attention(nn.Module):
         else:
             q_eff, k_eff = q * scale, k
 
-        if self.use_flash and H * W >= 256:
+        on_tpu = jax.default_backend() == "tpu"
+        if self.use_flash and H * W >= 256 and (on_tpu or self.use_flash == "always"):
             # Global blocks: keep the (N, N) scores in VMEM via the Pallas
-            # kernel (interpret mode off-TPU so tests cover the same path).
+            # kernel. Compiled on TPU only; use_flash="always" forces the
+            # interpret-mode kernel for CPU tests (too slow for production
+            # CPU paths like the driver's compile checks).
             from sam_road_tpu.ops.attention import fused_attention
 
-            interpret = jax.default_backend() != "tpu"
-            out = fused_attention(q_eff, k_eff, v, interpret)
+            out = fused_attention(q_eff, k_eff, v, not on_tpu)
         else:
             attn = jnp.einsum(
                 "bhnd,bhmd->bhnm", q_eff, k_eff,
@@ -218,7 +220,7 @@ class Block(nn.Module):
     input_size: tuple  # full token grid (H, W)
     use_rel_pos: bool = True
     lora_rank: int = 0
-    use_flash: bool = True
+    use_flash: Any = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -270,7 +272,7 @@ class ImageEncoderViT(nn.Module):
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     lora_rank: int = 0  # >0 adds LoRA q/v adapters to every block
     remat: bool = False
-    use_flash: bool = True
+    use_flash: Any = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

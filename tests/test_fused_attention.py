@@ -51,7 +51,7 @@ def test_encoder_flash_path_matches_xla_path():
               out_chans=32, window_size=4, global_attn_indexes=(1,),
               dtype=jnp.float32)
     # grid 24x24 = 576 tokens >= 256 -> flash path on the global block
-    enc_flash = ImageEncoderViT(use_flash=True, **kw)
+    enc_flash = ImageEncoderViT(use_flash="always", **kw)
     enc_xla = ImageEncoderViT(use_flash=False, **kw)
     x = np.random.default_rng(2).normal(size=(1, 384, 384, 3)).astype(np.float32)
     params = enc_xla.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
