@@ -46,8 +46,7 @@ def main(argv=None):
     params = init_params(config)
     sam_ckpt = args.sam_ckpt or config.SAM_CKPT_PATH
     if args.resume:
-        params = load_checkpoint(args.resume, params)
-        print(f"resumed from {args.resume}")
+        pass  # full state restored after the Trainer is built
     elif not config.NO_SAM and sam_ckpt and os.path.exists(sam_ckpt):
         from sam_road_tpu.models.convert import load_and_convert
 
@@ -82,8 +81,13 @@ def main(argv=None):
         config=config, params=params, output_dir=output_dir,
         steps_per_epoch=steps_per_epoch, logger=logger,
     )
+    start_epoch = 0
+    if args.resume:
+        start_epoch = trainer.restore(args.resume)
+        print(f"resumed full train state from {args.resume}; "
+              f"continuing at epoch {start_epoch}")
     epochs = 1 if args.fast_dev_run else int(config.TRAIN_EPOCHS)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         with maybe_trace(config.TRACE_DIR or None):
             trainer.train_epoch(train_loader, epoch)
         metrics = trainer.validate(val_loader)

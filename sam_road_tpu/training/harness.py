@@ -270,18 +270,47 @@ class Trainer:
         return metrics
 
     def save_checkpoint(self, epoch: int):
+        """Save the FULL train state (params + optimizer moments + step) so
+        --resume continues exactly (the reference parses --resume but never
+        wires it, reference: train.py:26-28,104)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.output_dir, f"ckpt_epoch_{epoch}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(self.state.params), force=True)
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+        }
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         return path
 
+    def restore(self, path: str) -> int:
+        """Restore a full train state; returns the next epoch to run."""
+        import orbax.checkpoint as ocp
 
-def load_checkpoint(path: str, init_params):
-    """Restore params saved by Trainer.save_checkpoint."""
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        rep = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        opt = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.state.opt_state),
+            jax.tree_util.tree_leaves(restored["opt_state"]),
+        )
+        self.state = TrainState(
+            step=jnp.asarray(int(restored["step"]), jnp.int32),
+            params=jax.device_put(rep, replicated_sharding(self.mesh)),
+            opt_state=jax.device_put(opt, replicated_sharding(self.mesh)),
+        )
+        return int(restored["epoch"]) + 1
+
+
+def load_checkpoint(path: str, init_params=None):
+    """Restore params from a Trainer checkpoint (full-state or legacy
+    params-only layout)."""
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), jax.device_get(init_params))
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    if isinstance(restored, dict) and "params" in restored and "step" in restored:
+        return restored["params"]
+    return restored
