@@ -11,7 +11,49 @@ neighborhood), which makes the per-survivor work a small numpy gather.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import shutil
+import subprocess
+
 import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """Build (once) and load native/nms.cc via ctypes; None if unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        src = os.path.join(root, "native", "nms.cc")
+        if not os.path.exists(src) or shutil.which("g++") is None:
+            return None
+        build_dir = os.path.join(root, "native", "build")
+        os.makedirs(build_dir, exist_ok=True)
+        lib = os.path.join(build_dir, "libsamroad_nms.so")
+        if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib, src],
+                check=True, capture_output=True,
+            )
+        dll = ctypes.CDLL(lib)
+        dll.samroad_nms.restype = ctypes.c_int64
+        dll.samroad_nms.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _NATIVE = dll
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
 
 
 def nms_points(points, scores, radius, return_indices: bool = False):
@@ -37,6 +79,24 @@ def nms_points(points, scores, radius, return_indices: bool = False):
     sorted_indices = np.argsort(scores)[::-1]
     sorted_points = points[sorted_indices]
     sorted_scores = scores[sorted_indices]
+
+    native = _load_native()
+    if native is not None:
+        pts_c = np.ascontiguousarray(sorted_points, dtype=np.float64)
+        sc_c = np.ascontiguousarray(sorted_scores, dtype=np.float64)
+        kept_u8 = np.zeros(n, dtype=np.uint8)
+        native.samroad_nms(
+            pts_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sc_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n,
+            float(radius),
+            kept_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        kept = kept_u8.astype(bool)
+        if return_indices:
+            return sorted_points[kept], sorted_indices[kept]
+        return sorted_points[kept]
+
     kept = np.ones(n, dtype=bool)
     immune = sorted_scores > 1.0
 

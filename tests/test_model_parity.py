@@ -179,3 +179,28 @@ def test_bfloat16_encoder_close_to_fp32():
                             dtype=jnp.bfloat16)
     y16 = np.asarray(enc16.apply({"params": params}, jnp.asarray(x)), dtype=np.float32)
     assert np.abs(y16 - y32).mean() < 0.05
+
+
+def test_encoder_specs_all_sizes():
+    """vit_l / vit_h specs build with correct rel-pos table shapes and run
+    a tiny forward (64px keeps CPU time bounded)."""
+    from sam_road_tpu.models.vit import ENCODER_SPECS
+
+    for name in ("vit_l", "vit_h"):
+        spec = ENCODER_SPECS[name]
+        enc = ImageEncoderViT(
+            img_size=64, embed_dim=spec["embed_dim"], depth=2,
+            num_heads=spec["num_heads"],
+            global_attn_indexes=(1,), dtype=jnp.float32,
+        )
+        x = jnp.zeros((1, 64, 64, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]
+        hd = spec["embed_dim"] // spec["num_heads"]
+        # windowed block 0: table 2*14-1; global block 1: 2*(64//16)-1
+        assert params["blocks_0"]["attn"]["rel_pos_h"].shape == (27, hd)
+        assert params["blocks_1"]["attn"]["rel_pos_h"].shape == (7, hd)
+        y = enc.apply({"params": params}, x)
+        assert y.shape == (1, 4, 4, 256)
+    assert ENCODER_SPECS["vit_l"]["depth"] == 24
+    assert ENCODER_SPECS["vit_h"]["depth"] == 32
+    assert ENCODER_SPECS["vit_h"]["global_attn_indexes"] == (7, 15, 23, 31)
