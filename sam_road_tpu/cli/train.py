@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--wandb", action="store_true",
                         help="also log to wandb if installed")
+    parser.add_argument("--steps_per_epoch", type=int, default=0,
+                        help="override the virtual epoch length")
     args = parser.parse_args(argv)
 
     from sam_road_tpu.config import create_output_dir_and_save_config, load_config
@@ -65,6 +67,8 @@ def main(argv=None):
 
     batch_size = int(config.BATCH_SIZE)
     steps_per_epoch = max(1, len(train_ds) // batch_size)
+    if args.steps_per_epoch:
+        steps_per_epoch = args.steps_per_epoch
     if args.fast_dev_run:
         steps_per_epoch = 2
     train_loader = BatchLoader(train_ds, batch_size, seed=args.seed,

@@ -91,3 +91,17 @@ def convert_from_nx(graph):
     for node_0, node_1 in graph.edges():
         edges.append((node_to_idx[node_0], node_to_idx[node_1]))
     return np.array(nodes), np.array(edges)
+
+
+def inspect_graph(node_array, edge_array):
+    """Debug statistics: one-way edge count + near-duplicate node count
+    (reference: graph_utils.py:18-37)."""
+    node_array = np.asarray(node_array)
+    edge_set = {(int(e[0]), int(e[1])) for e in np.asarray(edge_array).reshape(-1, 2)}
+    one_way_edge_count = sum(1 for s, d in edge_set if (d, s) not in edge_set)
+    print(f"DEBUG: One-way-edge count {one_way_edge_count}")
+    diff = node_array[:, None, :] - node_array[None, :, :]
+    dist = np.sqrt((diff**2).sum(-1))
+    dup = (np.sum(dist < 0.1) - node_array.shape[0]) / 2
+    print(f"DEBUG: duplicate_node_count: {dup}")
+    return one_way_edge_count, dup

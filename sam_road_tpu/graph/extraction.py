@@ -153,3 +153,35 @@ def extract_graph_astar(keypoint_mask, road_mask, config):
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
     return adj
+
+
+def create_cost_field(sample_pts, road_mask):
+    """Cost field for the Bresenham connectivity check
+    (reference: graph_extraction.py:107-114)."""
+    import cv2
+
+    cost_field = np.zeros(road_mask.shape, dtype=np.uint8)
+    kp_block_radius = 4
+    for point in sample_pts:
+        cv2.circle(cost_field, (int(point[0]), int(point[1])), kp_block_radius, 255, -1)
+    return np.maximum(cost_field, 255 - road_mask)
+
+
+def is_connected_bresenham(cost, start, end):
+    """Max-cost test along the rasterized segment between two points
+    (reference: graph_extraction.py:72-86)."""
+    import cv2
+
+    c0, r0 = int(start[0]), int(start[1])
+    c1, r1 = int(end[0]), int(end[1])
+    # integer line rasterization (skimage.draw.line equivalent)
+    npts = max(abs(r1 - r0), abs(c1 - c0)) + 1
+    rr = np.round(np.linspace(r0, r1, npts)).astype(int)
+    cc = np.round(np.linspace(c0, c1, npts)).astype(int)
+    kp_block_radius = 4
+    cv2.circle(cost, (c0, r0), kp_block_radius, 0, -1)
+    cv2.circle(cost, (c1, r1), kp_block_radius, 0, -1)
+    max_cost = np.max(cost[rr, cc])
+    cv2.circle(cost, (c0, r0), kp_block_radius, 255, -1)
+    cv2.circle(cost, (c1, r1), kp_block_radius, 255, -1)
+    return max_cost < 255
