@@ -27,6 +27,9 @@ REF_A100_REGION_SECONDS = 25.0  # documented estimate, see module docstring
 
 
 def main():
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from sam_road_tpu.config import load_config
     from sam_road_tpu.inference.engine import TiledInferenceEngine
     from sam_road_tpu.models.sam_road import init_params

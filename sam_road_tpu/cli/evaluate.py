@@ -24,6 +24,10 @@ def main(argv=None):
                         help="force the Python APLS fallback")
     args = parser.parse_args(argv)
 
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sam_road_tpu.metrics.runner import evaluate_apls, evaluate_topo
 
     tiles = None

@@ -25,6 +25,10 @@ def main(argv=None):
                         help="limit tile count (0 = all)")
     args = parser.parse_args(argv)
 
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sam_road_tpu.config import create_output_dir_and_save_config, load_config
     from sam_road_tpu.data.dataset import read_rgb_img
     from sam_road_tpu.data.partitions import (

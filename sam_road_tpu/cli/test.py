@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("--output_json", default=None)
     args = parser.parse_args(argv)
 
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sam_road_tpu.config import load_config
     from sam_road_tpu.data.dataset import BatchLoader, SatMapDataset
     from sam_road_tpu.models.sam_road import init_params

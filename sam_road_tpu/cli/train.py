@@ -33,6 +33,10 @@ def main(argv=None):
                         help="override the virtual epoch length")
     args = parser.parse_args(argv)
 
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sam_road_tpu.config import create_output_dir_and_save_config, load_config
     from sam_road_tpu.data.dataset import BatchLoader, SatMapDataset
     from sam_road_tpu.models.sam_road import init_params

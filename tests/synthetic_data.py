@@ -53,7 +53,16 @@ def make_spacenet_fixture(root: str, image_size: int = 400, n_train: int = 2,
         adj = make_grid_graph_rc(image_size, spacing)
         with open(os.path.join(rgb_dir, f"{name}__gt_graph.p"), "wb") as f:
             pickle.dump(adj, f)
-        img = rng.integers(0, 255, (image_size, image_size, 3), dtype=np.uint8)
+        # Imagery correlated with the graph: noisy terrain with dark
+        # road strokes at the GT edges, so mask prediction is learnable.
+        img = rng.integers(80, 200, (image_size, image_size, 3), dtype=np.uint8)
+        def to_xy(key):
+            return (int(key[1]), image_size - int(key[0]))
+        for a, neis in adj.items():
+            for b in neis:
+                cv2.line(img, to_xy(a), to_xy(b), (40, 40, 45), 5)
+        noise = rng.integers(-15, 15, img.shape, dtype=np.int16)
+        img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
         cv2.imwrite(os.path.join(rgb_dir, f"{name}__rgb.png"), img[:, :, ::-1])
 
     from sam_road_tpu.data.label_gen import generate_spacenet_labels
