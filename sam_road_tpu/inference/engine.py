@@ -267,6 +267,7 @@ class TiledInferenceEngine:
         max_nbr = int(cfg.MAX_NEIGHBOR_QUERIES)
         radius = float(cfg.NEIGHBOR_RADIUS)
         all_src, all_tgt, all_score = [], [], []
+        pending = []  # (device scores, per_patch metadata) per batch
         from scipy.spatial import cKDTree
 
         for bi in range(batch_num):
@@ -314,12 +315,16 @@ class TiledInferenceEngine:
                 bpairs[i, :n] = pairs
                 bvalid[i, :n] = valid
 
-            scores = self._phase2(
+            # dispatch only (async) — fetching here would serialize host
+            # pair-building with device scoring
+            scores_dev = self._phase2(
                 self.params, img_features[bi], put_batch(bpoints),
                 put_batch(bpairs), put_batch(bvalid),
             )
-            scores = np.nan_to_num(np.asarray(scores), nan=-100.0)[..., 0]
+            pending.append((scores_dev, per_patch))
 
+        for scores_dev, per_patch in pending:
+            scores = np.nan_to_num(np.asarray(scores_dev), nan=-100.0)[..., 0]
             # vectorized edge-score accumulation over valid entries
             for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
                 n = pts.shape[0]
