@@ -103,7 +103,6 @@ def subdivide_graph(graph: ArrayGraph, resolution: float) -> ArrayGraph:
     j = np.arange(total_interior) - np.repeat(starts, n_interior) + 1
     t = j / pieces[edge_of_pt]
     interior_pts = p0[edge_of_pt] + t[:, None] * (p1 - p0)[edge_of_pt]
-    interior_idx = n0 + np.arange(total_interior)
 
     # Chain edges: edge e contributes pieces_e edges:
     #   (src, i_0), (i_0, i_1), ..., (i_{m-1}, dst)   [m = n_interior_e]
@@ -120,9 +119,7 @@ def subdivide_graph(graph: ArrayGraph, resolution: float) -> ArrayGraph:
     )
     new_edges = np.stack([src, dst], axis=1)
     new_points = np.concatenate([points, interior_pts], axis=0)
-    g = ArrayGraph(n0 + total_interior, new_edges, points=new_points)
-    del interior_idx
-    return g
+    return ArrayGraph(n0 + total_interior, new_edges, points=new_points)
 
 
 def bfs_with_conditions(

@@ -96,8 +96,7 @@ class TiledInferenceEngine:
             )
         else:
             self.params = jax.device_put(params)
-            self._phase1 = jax.jit(self._phase1_impl, donate_argnums=(4, 5))
-            self._finalize = jax.jit(self._finalize_impl, donate_argnums=(0, 1))
+            self._phase1_region = jax.jit(self._phase1_region_impl)
         self._phase2 = jax.jit(self._phase2_impl)
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
@@ -139,6 +138,33 @@ class TiledInferenceEngine:
             0, patches_u8.shape[0], body, (fused, counter)
         )
         return feats, fused, counter
+
+    def _phase1_region_impl(self, params, img_u8, x0s, y0s, weights):
+        """Whole-region phase 1 as ONE program: lax.scan over patch batches.
+
+        A per-batch call pays ~40 ms of host-link latency on remote-attached
+        TPUs (coordinate uploads + dispatch); scanning all batches inside one
+        jit makes phase 1 a single upload + dispatch + download.
+
+        x0s/y0s/weights: [batch_num, B]. Returns (feats [batch_num, B, h, w,
+        C], masks uint8 [H, W, 2]).
+        """
+        H = img_u8.shape[0]
+        fused0 = jnp.zeros((H, H, 2), jnp.float32)
+        counter0 = jnp.zeros((H, H), jnp.float32)
+
+        def step(carry, xyw):
+            fused, counter = carry
+            bx, by, bw = xyw
+            feats, fused, counter = self._phase1_impl(
+                params, img_u8, bx, by, fused, counter, bw
+            )
+            return (fused, counter), feats
+
+        (fused, counter), feats = jax.lax.scan(
+            step, (fused0, counter0), (x0s, y0s, weights)
+        )
+        return feats, self._finalize_impl(fused, counter)
 
     def _phase1_local(self, params, img_u8, x0s, y0s, fused, counter, weights):
         """Per-device body for the sharded phase 1: identical math on the
@@ -195,8 +221,6 @@ class TiledInferenceEngine:
             )
             img_dev = jax.device_put(np.ascontiguousarray(img), self._rep)
         else:
-            fused = jnp.zeros((image_size, image_size, 2), jnp.float32)
-            counter = jnp.zeros((image_size, image_size), jnp.float32)
             # one upload of the whole region (uint8), resident for all batches
             img_dev = jax.device_put(np.ascontiguousarray(img))
 
@@ -206,22 +230,30 @@ class TiledInferenceEngine:
             return jnp.asarray(x)
 
         # ---- phase 1: masks + cached features ----
-        img_features = []
+        x0s = np.zeros((batch_num, B), np.int32)
+        y0s = np.zeros((batch_num, B), np.int32)
+        weights = np.zeros((batch_num, B), np.float32)
         for bi in range(batch_num):
             info = all_patch_info[bi * B : (bi + 1) * B]
-            x0s = np.zeros((B,), np.int32)
-            y0s = np.zeros((B,), np.int32)
-            weights = np.zeros((B,), np.float32)
             for i, (_, (x0, y0), (x1, y1)) in enumerate(info):
-                x0s[i], y0s[i] = x0, y0
-                weights[i] = 1.0
-            feats, fused, counter = self._phase1(
-                self.params, img_dev, put_batch(x0s),
-                put_batch(y0s), fused, counter, put_batch(weights),
-            )
-            img_features.append(feats)
+                x0s[bi, i], y0s[bi, i] = x0, y0
+                weights[bi, i] = 1.0
 
-        masks_dev = self._finalize(fused, counter)
+        if self.n_shards > 1:
+            img_features = []
+            for bi in range(batch_num):
+                feats, fused, counter = self._phase1(
+                    self.params, img_dev, put_batch(x0s[bi]),
+                    put_batch(y0s[bi]), fused, counter, put_batch(weights[bi]),
+                )
+                img_features.append(feats)
+            masks_dev = self._finalize(fused, counter)
+        else:
+            # one dispatch for the whole region (scan over batches on device)
+            img_features, masks_dev = self._phase1_region(
+                self.params, img_dev, jnp.asarray(x0s), jnp.asarray(y0s),
+                jnp.asarray(weights),
+            )
         return dict(
             image_size=image_size,
             all_patch_info=all_patch_info,
