@@ -30,7 +30,7 @@ def main(argv=None):
     from sam_road_tpu.data.dataset import BatchLoader, SatMapDataset
     from sam_road_tpu.models.sam_road import init_params
     from sam_road_tpu.ops.metrics import find_best_threshold
-    from sam_road_tpu.training.harness import Trainer, load_checkpoint
+    from sam_road_tpu.training.harness import load_checkpoint, run_validation
 
     config = load_config(args.config)
     params = init_params(config)
@@ -47,9 +47,7 @@ def main(argv=None):
                        data_root=args.data_root)
     loader = BatchLoader(ds, int(config.BATCH_SIZE),
                          num_batches=max(1, len(ds) // int(config.BATCH_SIZE)))
-    trainer = Trainer(config=config, params=params, output_dir=".",
-                      steps_per_epoch=1)
-    metrics = trainer.validate(loader)
+    metrics = run_validation(config, params, loader)
     results = {}
     print("======= Finding best thresholds ======")
     for category, hists in metrics["_pr_histograms"].items():

@@ -305,6 +305,37 @@ class Trainer:
         return int(restored["epoch"]) + 1
 
 
+def run_validation(config, params, loader):
+    """Standalone validation/calibration pass (no optimizer state) — the
+    test CLI path (reference: test.py) only needs the eval step."""
+    eval_step = make_eval_step(config)
+    params = jax.device_put(params)
+    total = None
+    n = 0
+    for batch in loader:
+        out = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        out = jax.tree.map(np.asarray, out)
+        total = out if total is None else jax.tree.map(np.add, total, out)
+        n += 1
+    if total is None:
+        return {}
+    metrics = {
+        "val_loss": float(total["loss"]) / n,
+        "val_mask_loss": float(total["mask_loss"]) / n,
+        "val_topo_loss": float(total["topo_loss"]) / n,
+        "keypoint_iou": float(total["kp_iou"][0] / max(total["kp_iou"][1], 1)),
+        "road_iou": float(total["road_iou"][0] / max(total["road_iou"][1], 1)),
+    }
+    tp, fp, fn = total["topo_f1"]
+    metrics["topo_f1"] = float(2 * tp / max(2 * tp + fp + fn, 1))
+    metrics["_pr_histograms"] = {
+        "keypoint": total["kp_pr"],
+        "road": total["road_pr"],
+        "topo": total["topo_pr"],
+    }
+    return metrics
+
+
 def load_checkpoint(path: str, init_params=None):
     """Restore params from a Trainer checkpoint (full-state or legacy
     params-only layout)."""
