@@ -165,7 +165,7 @@ class Attention(nn.Module):
             q_eff, k_eff = q * scale, k
 
         on_tpu = jax.default_backend() == "tpu"
-        if self.use_flash and H * W >= 256 and (on_tpu or self.use_flash == "always"):
+        if self.use_flash and H * W >= 128 and (on_tpu or self.use_flash == "always"):
             # Global blocks: keep the (N, N) scores in VMEM via the Pallas
             # kernel. Compiled on TPU only; use_flash="always" forces the
             # interpret-mode kernel for CPU tests (too slow for production
