@@ -312,7 +312,6 @@ class TiledInferenceEngine:
         radius = float(cfg.NEIGHBOR_RADIUS)
         all_src, all_tgt, all_score = [], [], []
         pending = []  # (device scores, per_patch metadata) per batch
-        batch_meta = []  # (bi, per_patch, max_pts)
         from scipy.spatial import cKDTree
 
         for bi in range(batch_num):
@@ -347,41 +346,26 @@ class TiledInferenceEngine:
                 per_patch.append((pidx, pts, pairs, valid))
                 max_pts = max(max_pts, pts.shape[0])
 
-            batch_meta.append((bi, per_patch, max_pts))
+            if max_pts == 0:
+                continue
+            # pad to shape bucket to bound recompiles
+            S = _bucket_size(max_pts, self.point_bucket)
+            bpoints = np.zeros((B, S, 2), np.float32)
+            bpairs = np.zeros((B, S, max_nbr, 2), np.int32)
+            bvalid = np.zeros((B, S, max_nbr), bool)
+            for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
+                n = pts.shape[0]
+                bpoints[i, :n] = pts
+                bpairs[i, :n] = pairs
+                bvalid[i, :n] = valid
 
-        region_max_pts = max((m for _, _, m in batch_meta), default=0)
-        if region_max_pts > 0:
-            S = _bucket_size(region_max_pts, self.point_bucket)
-            n_active = len(batch_meta)
-            bpoints = np.zeros((n_active, B, S, 2), np.float32)
-            bpairs = np.zeros((n_active, B, S, max_nbr, 2), np.int32)
-            bvalid = np.zeros((n_active, B, S, max_nbr), bool)
-            active_bi = []
-            for ai, (bi, per_patch, _) in enumerate(batch_meta):
-                active_bi.append(bi)
-                for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
-                    n = pts.shape[0]
-                    bpoints[ai, i, :n] = pts
-                    bpairs[ai, i, :n] = pairs
-                    bvalid[ai, i, :n] = valid
-
-            if self.n_shards > 1:
-                for ai, (bi, per_patch, _) in enumerate(batch_meta):
-                    scores_dev = self._phase2(
-                        self.params, img_features[bi], put_batch(bpoints[ai]),
-                        put_batch(bpairs[ai]), put_batch(bvalid[ai]),
-                    )
-                    pending.append((scores_dev, per_patch))
-            else:
-                # one dispatch for every batch (img_features is the stacked
-                # region-scan output, indexable by batch on device)
-                feats = img_features[np.asarray(active_bi)]
-                all_scores = self._phase2_region(
-                    self.params, feats, jnp.asarray(bpoints),
-                    jnp.asarray(bpairs), jnp.asarray(bvalid),
-                )
-                for ai, (bi, per_patch, _) in enumerate(batch_meta):
-                    pending.append((all_scores[ai], per_patch))
+            # dispatch only (async) — fetching here would serialize host
+            # pair-building with device scoring
+            scores_dev = self._phase2(
+                self.params, img_features[bi], put_batch(bpoints),
+                put_batch(bpairs), put_batch(bvalid),
+            )
+            pending.append((scores_dev, per_patch))
 
         for scores_dev, per_patch in pending:
             scores = np.nan_to_num(np.asarray(scores_dev), nan=-100.0)[..., 0]

@@ -172,31 +172,58 @@ def TOPOGeneratePairs(GPSMap, OSMMap, OSMList, threshold=0.00010, region=None):
 
 def _match_count(sources, targets, threshold, one2one):
     """Bipartite matching between marble/hole sets with distance + 45-degree
-    angle gates (reference: topo/topo.py:770-896)."""
+    angle gates (reference: topo/topo.py:770-896).
+
+    Vectorized: the per-pair distance/angle math ran as tens of millions of
+    Python calls per tile (~160 s); candidate pairs are gathered once via a
+    KD-tree and filtered with numpy (same semantics — latlon_norm uses the
+    reference's fixed lat=40 cosine)."""
     if not sources or not targets:
         return 0
-    tpts = np.asarray([(t[0], t[1]) for t in targets])
-    ttree = cKDTree(tpts)
-    bigraph = {}
-    matched = 0
+    src = np.asarray(sources, dtype=np.float64)  # [S, 4]
+    tgt = np.asarray(targets, dtype=np.float64)  # [T, 4]
+    ttree = cKDTree(tgt[:, :2])
     rr = threshold * 1.8 + 0.00001
-    for si, s in enumerate(sources):
-        cand = ttree.query_ball_point([s[0], s[1]], r=rr, p=np.inf)
-        for ti in cand:
-            t = targets[ti]
-            ddd = distance(s, t)
-            n1 = latlon_norm((s[2], s[3]))
-            n2 = latlon_norm((t[2], t[3]))
-            if s[2] != s[3] and t[2] != t[3]:
-                angle_d = 1.0 - abs(n1[0] * n2[0] + n1[1] * n2[1])
-            else:
-                angle_d = 0.0
-            if ddd < threshold and angle_d < 0.29:  # 45 degrees
-                bigraph.setdefault(si, set()).add(ti)
-                matched += 1
-    if one2one:
-        return maximum_matching_size(bigraph)
-    return matched
+    cand_lists = ttree.query_ball_point(src[:, :2], r=rr, p=np.inf)
+    counts = np.fromiter((len(c) for c in cand_lists), dtype=np.int64,
+                         count=len(cand_lists))
+    if counts.sum() == 0:
+        return 0
+    si = np.repeat(np.arange(src.shape[0]), counts)
+    ti = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_lists if c])
+
+    s = src[si]
+    t = tgt[ti]
+    # distance(): cos-scaled by the SOURCE latitude (latlon.py:23-27)
+    dlat = s[:, 0] - t[:, 0]
+    dlon = (s[:, 1] - t[:, 1]) * np.cos(np.radians(s[:, 0]))
+    ddd = np.sqrt(dlat * dlat + dlon * dlon)
+    # latlon_norm(): fixed lat=40 cosine (latlon.py:30-34)
+    c40 = math.cos(math.radians(40))
+
+    def norms(v):  # v: [N, 2] (dlat, dlon)
+        a = v[:, 0]
+        b = v[:, 1] * c40
+        l = np.sqrt(a * a + b * b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return a / l, b / l
+
+    n1a, n1b = norms(s[:, 2:4])
+    n2a, n2b = norms(t[:, 2:4])
+    both_directed = (s[:, 2] != s[:, 3]) & (t[:, 2] != t[:, 3])
+    angle_d = np.where(
+        both_directed, 1.0 - np.abs(n1a * n2a + n1b * n2b), 0.0
+    )
+    ok = (ddd < threshold) & (angle_d < 0.29)  # 45 degrees
+    if not ok.any():
+        return 0
+    si, ti = si[ok], ti[ok]
+    if not one2one:
+        return int(ok.sum())
+    bigraph = {}
+    for a, b in zip(si.tolist(), ti.tolist()):
+        bigraph.setdefault(a, set()).add(b)
+    return maximum_matching_size(bigraph)
 
 
 def TOPO121(topo_result, roadgraph):
