@@ -97,7 +97,6 @@ class TiledInferenceEngine:
         else:
             self.params = jax.device_put(params)
             self._phase1_region = jax.jit(self._phase1_region_impl)
-            self._phase2_region = jax.jit(self._phase2_region_impl)
         self._phase2 = jax.jit(self._phase2_impl)
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
@@ -194,16 +193,9 @@ class TiledInferenceEngine:
             method=SAMRoad.infer_toponet,
         )
 
-    def _phase2_region_impl(self, params, feats, points, pairs, valid):
-        """All phase-2 batches in one dispatch (scan over the batch axis);
-        same per-call-latency argument as _phase1_region_impl."""
-
-        def step(_, xs):
-            f, p, pr, v = xs
-            return None, self._phase2_impl(params, f, p, pr, v)
-
-        _, scores = jax.lax.scan(step, None, (feats, points, pairs, valid))
-        return scores
+    # NOTE: a scanned all-batches phase 2 was measured SLOWER than per-batch
+    # async dispatch (region-max padding + loss of host/device overlap), so
+    # phase 2 intentionally stays per-batch.
 
     # ---------- host orchestration ----------
 
