@@ -1,0 +1,159 @@
+"""Fused-kernel encoder forward (inference fast path).
+
+A functional re-statement of ImageEncoderViT.__call__ that consumes the SAME
+parameter tree as the flax module but runs every windowed block through the
+fused Pallas kernel (ops/fused_block.py) and chains consecutive windowed
+blocks in window layout (the reference unpartitions and repartitions at
+identical offsets between adjacent windowed blocks, so staying partitioned is
+exact for real tokens — pad rows are re-masked inside every kernel and
+dropped at the run's end).
+
+Used by the inference engine when config.FUSED_ENCODER is on; training and
+checkpoints are untouched. Parity is tested against the flax encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table
+from sam_road_tpu.ops.attention import fused_attention
+from sam_road_tpu.ops.fused_block import fused_window_block
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)) * scale + bias
+
+
+def _layer_norm2d(x, weight, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) / jnp.sqrt(var + eps)
+    return y * weight + bias
+
+
+def _global_block(x, bp, num_heads, dtype, on_tpu):
+    """Global-attention block, identical math to models/vit.py Block."""
+    B, H, W, C = x.shape
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+    h = _layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"]).astype(dtype)
+    qkv = h.reshape(B, H * W, C) @ bp["attn"]["qkv"]["kernel"].astype(dtype)
+    qkv = qkv + bp["attn"]["qkv"]["bias"].astype(dtype)
+    qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
+    q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
+
+    Rh = _get_rel_pos_table(H, bp["attn"]["rel_pos_h"]).astype(dtype)
+    Rw = _get_rel_pos_table(W, bp["attn"]["rel_pos_w"]).astype(dtype)
+    r_q = q.reshape(B, num_heads, H, W, head_dim)
+    qh_aug = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh)
+    qw_aug = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)
+    q_aug = jnp.concatenate(
+        [q * scale, qh_aug.reshape(B, num_heads, H * W, H),
+         qw_aug.reshape(B, num_heads, H * W, W)], axis=-1)
+    eye_h = np.repeat(np.eye(H, dtype=np.float32), W, axis=0)
+    eye_w = np.tile(np.eye(W, dtype=np.float32), (H, 1))
+    pos_code = jnp.asarray(np.concatenate([eye_h, eye_w], axis=1), dtype)
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(pos_code[None, None],
+                             (B, num_heads) + pos_code.shape)], axis=-1)
+    out = fused_attention(q_aug, k_aug, v, not on_tpu)
+    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    out = out @ bp["attn"]["proj"]["kernel"].astype(dtype)
+    out = out + bp["attn"]["proj"]["bias"].astype(dtype)
+    x = x + out
+
+    h2 = _layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"]).astype(dtype)
+    mid = h2 @ bp["mlp_lin1"]["kernel"].astype(dtype) + bp["mlp_lin1"]["bias"].astype(dtype)
+    mid = jax.nn.gelu(mid, approximate=False)
+    mlp = mid @ bp["mlp_lin2"]["kernel"].astype(dtype) + bp["mlp_lin2"]["bias"].astype(dtype)
+    return x + mlp
+
+
+def _partition_raw(x, ws):
+    """[B, H, W, C] -> ([B*nW, ws*ws, C], static real-token mask
+    [B*nW, ws*ws, 1], (Hp, Wp))."""
+    B, H, W, C = x.shape
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    xw = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+    real = np.zeros((Hp, Wp), np.float32)
+    real[:H, :W] = 1.0
+    m = real.reshape(Hp // ws, ws, Wp // ws, ws).transpose(0, 2, 1, 3)
+    m = m.reshape(-1, ws * ws, 1)  # per-window mask (same for every image)
+    mask = jnp.asarray(np.tile(m, (B, 1, 1)))
+    return xw, mask, (Hp, Wp)
+
+
+def _unpartition(xw, ws, pad_hw, hw, B):
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = xw.shape[-1]
+    x = xw.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W, :]
+
+
+def encoder_forward_fused(params, x, sam_version: str = "vit_b",
+                          img_size: int = 512, window_size: int = 14,
+                          dtype=jnp.bfloat16, interpret: bool = False):
+    """Full encoder forward on the standard param tree with fused windowed
+    blocks. x: [B, H, W, 3] normalized input; returns [B, h, w, 256]."""
+    spec = ENCODER_SPECS[sam_version]
+    depth = spec["depth"]
+    num_heads = spec["num_heads"]
+    global_idx = set(spec["global_attn_indexes"])
+    on_tpu = jax.default_backend() == "tpu" and not interpret
+
+    # patch embed (16x16 stride-16 conv, NHWC/HWIO)
+    kern = params["patch_embed_proj"]["kernel"].astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x.astype(dtype), kern, window_strides=(16, 16), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed_proj"]["bias"].astype(dtype)
+    x = x + params["pos_embed"].astype(dtype)
+
+    B, H, W, C = x.shape
+    i = 0
+    while i < depth:
+        if i in global_idx:
+            x = _global_block(x, params[f"blocks_{i}"], num_heads, dtype, on_tpu)
+            i += 1
+        else:
+            # run of consecutive windowed blocks, chained in window layout
+            j = i
+            while j < depth and j not in global_idx:
+                j += 1
+            xw, mask, pad_hw = _partition_raw(x, window_size)
+            for bi in range(i, j):
+                xw = fused_window_block(
+                    xw, mask, params[f"blocks_{bi}"], window_size, num_heads,
+                    interpret=not on_tpu,
+                )
+            x = _unpartition(xw, window_size, pad_hw, (H, W), B)
+            i = j
+
+    # neck
+    x = jax.lax.conv_general_dilated(
+        x, params["neck_0"]["kernel"].astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = _layer_norm2d(x, params["neck_1"]["weight"], params["neck_1"]["bias"]).astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, params["neck_2"]["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = _layer_norm2d(x, params["neck_3"]["weight"], params["neck_3"]["bias"]).astype(dtype)
+    return x

@@ -1,0 +1,199 @@
+"""Fused windowed transformer block (Pallas, inference fast path).
+
+The encoder's windowed blocks run matmuls at ~70% MFU but lose over half
+their wall time to HBM round-trips between ops (LN casts, qkv/out transposes,
+score materialization, GELU passes). One 14x14 window's entire block —
+LN1 -> fused qkv -> per-head rel-pos attention -> proj -> residual -> LN2 ->
+MLP -> residual — fits comfortably in VMEM (weights ~7 MB bf16 + activations
+~3 MB), so this kernel executes the whole block per window with HBM traffic
+of just x-in + x-out + (resident) weights.
+
+Padding semantics match the reference exactly: the reference zero-pads the
+NORM1 OUTPUT into windows (keys of padded slots are zeros). Here windows are
+cut from the raw x, so the kernel applies a per-row real-token mask right
+after LN1. Padded-row outputs are garbage and are dropped at unpartition,
+exactly like the reference discards them.
+
+Measured on v5e (ViT-B, 512px, B=32): fused encoder 191 ms vs 207 ms for the
+XLA path — the kernel eliminates between-op HBM traffic but its per-window
+matmuls (M=196) run below the MXU efficiency of XLA's all-window batching
+(M=56448), so the net gain is ~8%. Kept as an experimental inference path
+(models/fast_encoder.py) with full parity tests; not wired into the engine by
+default. Grouping several windows per program would restore matmul shape at
+the cost of VMEM pressure — candidate for a later round.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|error| <= 1.5e-7): the TPU Pallas
+    lowering has no erf/erfc primitive."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _block_kernel(num_heads: int, win: int,
+                  x_ref, mask_ref,
+                  n1s_ref, n1b_ref, qkvw_ref, qkvb_ref, rh_ref, rw_ref,
+                  pw_ref, pb_ref, n2s_ref, n2b_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref,
+                  o_ref):
+    N = win * win
+    C = x_ref.shape[-1]
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+    eps = 1e-6
+
+    x = x_ref[0]  # (N, C) bf16
+    xf = x.astype(jnp.float32)
+
+    # LayerNorm1 (per-token, f32) then real-token mask (reference zero-pads
+    # the norm1 output into windows)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + eps)
+    h = h * n1s_ref[:].astype(jnp.float32) + n1b_ref[:].astype(jnp.float32)
+    # `where`, not multiply: pad rows of x hold garbage when blocks chain in
+    # window layout, and 0 * garbage would propagate a hypothetical NaN.
+    h = jnp.where(mask_ref[0].astype(jnp.float32) > 0, h, 0.0).astype(x.dtype)
+
+    qkv = jnp.dot(h, qkvw_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + qkvb_ref[:].astype(jnp.float32)).astype(x.dtype)  # (N, 3C)
+
+    # Row-expanded rel-pos tables: RH_exp[(i,j), a, c] = Rh[i, a, c] and
+    # RW_exp[(i,j), b, c] = Rw[j, b, c] (precomputed outside). The bias then
+    # needs no 4D score views (Mosaic rejects lane-dim reshapes of the score
+    # matrix): bias rows come from VPU reductions and spread to the (N, N)
+    # key axis via static 0/1 selector matmuls.
+    rh_exp = rh_ref[:].astype(jnp.float32)  # (N, win, head_dim)
+    rw_exp = rw_ref[:].astype(jnp.float32)
+    # selectors: E[a, k] = 1 iff k // win == a ; F[b, k] = 1 iff k % win == b
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
+    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
+    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+
+    head_outs = []
+    for head in range(num_heads):
+        q = qkv[:, head * head_dim:(head + 1) * head_dim]
+        k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
+        v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        qf = q.astype(jnp.float32)
+        bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
+        bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)  # (N, win)
+        s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
+        s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        head_outs.append(o)
+    out = jnp.concatenate(head_outs, axis=-1)  # (N, C) f32
+
+    proj = jnp.dot(out.astype(x.dtype), pw_ref[:],
+                   preferred_element_type=jnp.float32)
+    proj = proj + pb_ref[:].astype(jnp.float32)
+    x1 = xf + proj  # residual 1 (f32)
+
+    mu2 = jnp.mean(x1, axis=-1, keepdims=True)
+    var2 = jnp.mean((x1 - mu2) ** 2, axis=-1, keepdims=True)
+    h2 = (x1 - mu2) * jax.lax.rsqrt(var2 + eps)
+    h2 = h2 * n2s_ref[:].astype(jnp.float32) + n2b_ref[:].astype(jnp.float32)
+
+    mid = jnp.dot(h2.astype(x.dtype), w1_ref[:],
+                  preferred_element_type=jnp.float32)
+    mid = mid + b1_ref[:].astype(jnp.float32)
+    mid = _gelu_exact(mid)
+    mlp = jnp.dot(mid.astype(x.dtype), w2_ref[:],
+                  preferred_element_type=jnp.float32)
+    mlp = mlp + b2_ref[:].astype(jnp.float32)
+
+    o_ref[0] = (x1 + mlp).astype(x.dtype)
+
+
+def fused_window_block(x_windows, mask, block_params, win: int,
+                       num_heads: int, interpret: bool = False):
+    """Run one transformer block over pre-partitioned windows.
+
+    Args:
+      x_windows: [nW, win*win, C] raw (un-normed) window tokens.
+      mask: [nW, win*win, 1] 1.0 for real tokens, 0.0 for padding.
+      block_params: the standard Block param dict (norm1/attn/norm2/mlp_*).
+      win: window side (14).
+    Returns: [nW, win*win, C] block output (pad rows undefined).
+    """
+    nW, N, C = x_windows.shape
+    attn = block_params["attn"]
+    # static rel-pos gather (win x win table from the (2*win-1, hd) params),
+    # row-expanded to (N, win, hd) so the kernel needs no lane reshapes
+    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
+    rh = jnp.asarray(attn["rel_pos_h"])[coords]  # (win, win, hd): [i, a, c]
+    rw = jnp.asarray(attn["rel_pos_w"])[coords]  # (win, win, hd): [j, b, c]
+    rh = jnp.repeat(rh, win, axis=0)             # row (i, j) -> Rh[i]
+    rw = jnp.tile(rw, (win, 1, 1))               # row (i, j) -> Rw[j]
+
+    kernel = functools.partial(_block_kernel, num_heads, win)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    dt = x_windows.dtype
+    args = (
+        x_windows,
+        mask.astype(dt),
+        block_params["norm1"]["scale"].astype(dt),
+        block_params["norm1"]["bias"].astype(dt),
+        attn["qkv"]["kernel"].astype(dt),
+        attn["qkv"]["bias"].astype(dt),
+        rh.astype(dt),
+        rw.astype(dt),
+        attn["proj"]["kernel"].astype(dt),
+        attn["proj"]["bias"].astype(dt),
+        block_params["norm2"]["scale"].astype(dt),
+        block_params["norm2"]["bias"].astype(dt),
+        block_params["mlp_lin1"]["kernel"].astype(dt),
+        block_params["mlp_lin1"]["bias"].astype(dt),
+        block_params["mlp_lin2"]["kernel"].astype(dt),
+        block_params["mlp_lin2"]["bias"].astype(dt),
+    )
+    in_specs = [
+        pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        full((C,)), full((C,)),
+        full((C, 3 * C)), full((3 * C,)),
+        full((win * win, win, C // num_heads)),
+        full((win * win, win, C // num_heads)),
+        full((C, C)), full((C,)),
+        full((C,)), full((C,)),
+        full((C, 4 * C)), full((4 * C,)),
+        full((4 * C, C)), full((C,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nW, N, C), dt),
+        grid=(nW,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
