@@ -108,7 +108,8 @@ def _unpartition(xw, ws, pad_hw, hw, B):
 
 def encoder_forward_fused(params, x, sam_version: str = "vit_b",
                           img_size: int = 512, window_size: int = 14,
-                          dtype=jnp.bfloat16, interpret: bool = False):
+                          dtype=jnp.bfloat16, interpret: bool = False,
+                          group: int = 1):
     """Full encoder forward on the standard param tree with fused windowed
     blocks. x: [B, H, W, 3] normalized input; returns [B, h, w, 256]."""
     spec = ENCODER_SPECS[sam_version]
@@ -140,7 +141,7 @@ def encoder_forward_fused(params, x, sam_version: str = "vit_b",
             for bi in range(i, j):
                 xw = fused_window_block(
                     xw, mask, params[f"blocks_{bi}"], window_size, num_heads,
-                    interpret=not on_tpu,
+                    interpret=not on_tpu, group=group,
                 )
             x = _unpartition(xw, window_size, pad_hw, (H, W), B)
             i = j

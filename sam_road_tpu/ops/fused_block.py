@@ -53,7 +53,7 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _block_kernel(num_heads: int, win: int,
+def _block_kernel(num_heads: int, win: int, group: int,
                   x_ref, mask_ref,
                   n1s_ref, n1b_ref, qkvw_ref, qkvb_ref, rh_ref, rw_ref,
                   pw_ref, pb_ref, n2s_ref, n2b_ref,
@@ -64,8 +64,10 @@ def _block_kernel(num_heads: int, win: int,
     head_dim = C // num_heads
     scale = head_dim ** -0.5
     eps = 1e-6
+    GN = group * N
 
-    x = x_ref[0]  # (N, C) bf16
+    x = x_ref[...].reshape(GN, C)  # group windows stacked along tokens
+    mask_flat = mask_ref[...].reshape(GN, 1)
     xf = x.astype(jnp.float32)
 
     # LayerNorm1 (per-token, f32) then real-token mask (reference zero-pads
@@ -76,7 +78,7 @@ def _block_kernel(num_heads: int, win: int,
     h = h * n1s_ref[:].astype(jnp.float32) + n1b_ref[:].astype(jnp.float32)
     # `where`, not multiply: pad rows of x hold garbage when blocks chain in
     # window layout, and 0 * garbage would propagate a hypothetical NaN.
-    h = jnp.where(mask_ref[0].astype(jnp.float32) > 0, h, 0.0).astype(x.dtype)
+    h = jnp.where(mask_flat.astype(jnp.float32) > 0, h, 0.0).astype(x.dtype)
 
     qkv = jnp.dot(h, qkvw_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + qkvb_ref[:].astype(jnp.float32)).astype(x.dtype)  # (N, 3C)
@@ -94,23 +96,29 @@ def _block_kernel(num_heads: int, win: int,
     sel_h = (k_idx // win == a_idx).astype(jnp.float32)
     sel_w = (k_idx % win == a_idx).astype(jnp.float32)
 
-    head_outs = []
-    for head in range(num_heads):
-        q = qkv[:, head * head_dim:(head + 1) * head_dim]
-        k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
-        v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        qf = q.astype(jnp.float32)
-        bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
-        bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)  # (N, win)
-        s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
-        s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        head_outs.append(o)
-    out = jnp.concatenate(head_outs, axis=-1)  # (N, C) f32
+    group_outs = []
+    for g in range(group):
+        head_outs = []
+        for head in range(num_heads):
+            q = qkv[g * N:(g + 1) * N, head * head_dim:(head + 1) * head_dim]
+            k = qkv[g * N:(g + 1) * N,
+                    C + head * head_dim: C + (head + 1) * head_dim]
+            v = qkv[g * N:(g + 1) * N,
+                    2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            qf = q.astype(jnp.float32)
+            bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
+            bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)  # (N, win)
+            s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
+            s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            head_outs.append(o)
+        group_outs.append(jnp.concatenate(head_outs, axis=-1))
+    out = jnp.concatenate(group_outs, axis=0)  # (GN, C) f32
 
     proj = jnp.dot(out.astype(x.dtype), pw_ref[:],
                    preferred_element_type=jnp.float32)
@@ -130,11 +138,12 @@ def _block_kernel(num_heads: int, win: int,
                   preferred_element_type=jnp.float32)
     mlp = mlp + b2_ref[:].astype(jnp.float32)
 
-    o_ref[0] = (x1 + mlp).astype(x.dtype)
+    o_ref[...] = (x1 + mlp).astype(x.dtype).reshape(group, N, C)
 
 
 def fused_window_block(x_windows, mask, block_params, win: int,
-                       num_heads: int, interpret: bool = False):
+                       num_heads: int, interpret: bool = False,
+                       group: int = 1):
     """Run one transformer block over pre-partitioned windows.
 
     Args:
@@ -142,9 +151,16 @@ def fused_window_block(x_windows, mask, block_params, win: int,
       mask: [nW, win*win, 1] 1.0 for real tokens, 0.0 for padding.
       block_params: the standard Block param dict (norm1/attn/norm2/mlp_*).
       win: window side (14).
+      group: windows per program — larger groups give the LN/qkv/proj/MLP
+        matmuls better MXU shapes (M = group*196) at the cost of VMEM.
+        NOTE: group > 1 currently compiles only in interpret mode — this
+        Mosaic version rejects the (G, N, C) -> (G*N, C) merge at N=196;
+        parity is tested, revisit when the lowering supports it.
     Returns: [nW, win*win, C] block output (pad rows undefined).
     """
     nW, N, C = x_windows.shape
+    if nW % group != 0:
+        group = 1
     attn = block_params["attn"]
     # static rel-pos gather (win x win table from the (2*win-1, hd) params),
     # row-expanded to (N, win, hd) so the kernel needs no lane reshapes
@@ -154,7 +170,7 @@ def fused_window_block(x_windows, mask, block_params, win: int,
     rh = jnp.repeat(rh, win, axis=0)             # row (i, j) -> Rh[i]
     rw = jnp.tile(rw, (win, 1, 1))               # row (i, j) -> Rw[j]
 
-    kernel = functools.partial(_block_kernel, num_heads, win)
+    kernel = functools.partial(_block_kernel, num_heads, win, group)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     dt = x_windows.dtype
@@ -176,9 +192,10 @@ def fused_window_block(x_windows, mask, block_params, win: int,
         block_params["mlp_lin2"]["kernel"].astype(dt),
         block_params["mlp_lin2"]["bias"].astype(dt),
     )
+    G = group
     in_specs = [
-        pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, N, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         full((C,)), full((C,)),
         full((C, 3 * C)), full((3 * C,)),
         full((win * win, win, C // num_heads)),
@@ -191,9 +208,9 @@ def fused_window_block(x_windows, mask, block_params, win: int,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nW, N, C), dt),
-        grid=(nW,),
+        grid=(nW // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)

@@ -68,3 +68,26 @@ def test_fast_encoder_windowed_run_chaining():
         del ENCODER_SPECS["_test4"]
         ENCODER_SPECS["vit_t"] = spec_patch
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_encoder_grouped_windows():
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=4, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+    params = jax.tree.map(
+        np.asarray, enc.init(jax.random.PRNGKey(6), jnp.asarray(x))["params"]
+    )
+    want = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    got = np.asarray(
+        encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+            window_size=4, dtype=jnp.float32, interpret=True, group=3,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
