@@ -74,3 +74,29 @@ MAX_NEIGHBOR_QUERIES: 16
     assert cfg.SAM_VERSION == "vit_b"
     assert cfg.TOPO_THRESHOLD == 0.5
     assert MISSING == Config().ANYTHING
+
+
+def test_shipped_config_grid_loads():
+    """Every YAML in configs/ must load and produce a valid ModelSpec."""
+    import glob
+    import os
+
+    from sam_road_tpu.models.sam_road import ModelSpec
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.yaml")))
+    assert len(paths) >= 18
+    for p in paths:
+        cfg = load_config(p)
+        spec = ModelSpec.from_config(cfg)
+        assert spec.sam_version in ("vit_b", "vit_l", "vit_h", "vit_t"), p
+        assert cfg.PATCH_SIZE in (256, 512, 1024), p
+        assert 0 < cfg.ROAD_THRESHOLD <= 1 or cfg.ROAD_THRESHOLD == 128, p
+
+
+def test_console_entry_points_importable():
+    import importlib
+
+    for mod in ("train", "test", "infer", "evaluate", "triage", "debug_labels"):
+        m = importlib.import_module(f"sam_road_tpu.cli.{mod}")
+        assert callable(m.main)
