@@ -22,6 +22,35 @@ def maximum_matching_size(bigraph: dict) -> int:
             row.append(right_ids[v])
         adj.append(row)
     n_left, n_right = len(left), len(right_ids)
+    return _hopcroft_karp(adj, n_left, n_right)
+
+
+def maximum_matching_size_pairs(si, ti) -> int:
+    """Maximum matching size from parallel edge arrays (vectorized
+    adjacency construction — the dict/set build dominates at TOPO scale)."""
+    import numpy as np
+
+    si = np.asarray(si, dtype=np.int64)
+    ti = np.asarray(ti, dtype=np.int64)
+    if si.size == 0:
+        return 0
+    # dedupe edges, compact both sides
+    _, li = np.unique(si, return_inverse=True)
+    _, ri = np.unique(ti, return_inverse=True)
+    n_left = int(li.max()) + 1
+    n_right = int(ri.max()) + 1
+    keys = li * n_right + ri
+    uk = np.unique(keys)
+    li = (uk // n_right).astype(np.int64)
+    ri = (uk % n_right).astype(np.int64)
+    order = np.argsort(li, kind="stable")
+    li, ri = li[order], ri[order]
+    starts = np.searchsorted(li, np.arange(n_left + 1))
+    adj = [ri[starts[u]:starts[u + 1]].tolist() for u in range(n_left)]
+    return _hopcroft_karp(adj, n_left, n_right)
+
+
+def _hopcroft_karp(adj, n_left, n_right) -> int:
     match_l = [-1] * n_left
     match_r = [-1] * n_right
     dist = [0] * n_left

@@ -24,7 +24,10 @@ from sam_road_tpu.metrics.latlon import (
     latlon_norm,
     point_to_line_distance_latlon,
 )
-from sam_road_tpu.metrics.matching import maximum_matching_size
+from sam_road_tpu.metrics.matching import (
+    maximum_matching_size,
+    maximum_matching_size_pairs,
+)
 
 
 def TOPOGenerateStartingPoints(OSMMap, density=0.00050, region=None, mergin=0.07):
@@ -189,8 +192,11 @@ def _match_count(sources, targets, threshold, one2one):
                          count=len(cand_lists))
     if counts.sum() == 0:
         return 0
+    import itertools
+
     si = np.repeat(np.arange(src.shape[0]), counts)
-    ti = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_lists if c])
+    ti = np.fromiter(itertools.chain.from_iterable(cand_lists),
+                     dtype=np.int64, count=int(counts.sum()))
 
     s = src[si]
     t = tgt[ti]
@@ -220,10 +226,7 @@ def _match_count(sources, targets, threshold, one2one):
     si, ti = si[ok], ti[ok]
     if not one2one:
         return int(ok.sum())
-    bigraph = {}
-    for a, b in zip(si.tolist(), ti.tolist()):
-        bigraph.setdefault(a, set()).add(b)
-    return maximum_matching_size(bigraph)
+    return maximum_matching_size_pairs(si, ti)
 
 
 def TOPO121(topo_result, roadgraph):
