@@ -75,8 +75,10 @@ def main(argv=None):
         steps_per_epoch = args.steps_per_epoch
     if args.fast_dev_run:
         steps_per_epoch = 2
+    workers = max(1, int(config.DATA_WORKER_NUM or 1))
     train_loader = BatchLoader(train_ds, batch_size, seed=args.seed,
-                               num_batches=steps_per_epoch)
+                               num_batches=steps_per_epoch,
+                               num_workers=workers)
     val_loader = BatchLoader(val_ds, batch_size, seed=args.seed,
                              num_batches=max(1, len(val_ds) // batch_size))
 
