@@ -231,3 +231,22 @@ def test_merge_into_large_graph_pipeline():
     # node 4 isolated -> dropped; 0/1 merged; edge 0-2 split at node 3
     assert out_nodes.shape[0] == 3
     assert len(out_edges) == 2
+
+
+def test_polyline_connectivity():
+    a = np.array([[0.0, 0.0], [1.0, 0.0]])
+    b = np.array([[1.0, 0.05], [2.0, 0.0]])
+    c = np.array([[5.0, 5.0], [6.0, 5.0]])
+    pairs, endpoints = G.get_polyline_connectivity([a, b, c], dist_threshold=0.2)
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_trace_segment_and_find_segments():
+    # path 0-1-2-3 plus a branch at 2 -> segments split at the branch node
+    edges = [[0, 1], [1, 0], [1, 2], [2, 1], [2, 3], [3, 2], [2, 4], [4, 2]]
+    coords = np.array([[0, 0], [1, 0], [2, 0], [3, 0], [2, 1]], float)
+    adj = G.edge_list_to_adj_table(coords, edges)
+    segments = G.find_segments_in_road_graph(adj)
+    flattened = sorted(tuple(sorted((s[0], s[-1]))) for s in segments)
+    assert flattened == [(0, 2), (2, 3), (2, 4)]

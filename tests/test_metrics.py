@@ -130,3 +130,55 @@ def test_topo_empty_proposal():
     gt = grid_adj()
     p, r, f1 = topo_score_one_tile(gt, {(0, 0): [(0, 1)], (0, 1): [(0, 0)]})
     assert f1 < 0.05
+
+
+def test_topo_walk_hand_case():
+    """Marbles along a straight 3-segment road from a mid-edge start."""
+    from sam_road_tpu.metrics.topo_graph import create_graph_from_adj
+
+    # straight road: 4 nodes 50 px apart ((r, c) keys -> fake latlon)
+    adj = {}
+    pts = [(100, 100 + i * 50) for i in range(4)]
+    for a, b in zip(pts[:-1], pts[1:]):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    g, _ = create_graph_from_adj(adj)
+    # start mid-edge between local nodes 0 and 1
+    from sam_road_tpu.metrics.latlon import distance
+
+    d01 = distance(g.nodes[0], g.nodes[1])
+    marbles = g.TOPOWalk(1, step=d01 / 10, r=d01 * 10, newstyle=True,
+                         nid1=0, nid2=1, dist1=d01 / 2, dist2=d01 / 2)
+    assert len(marbles) > 20  # seeds + walks in both directions
+    lats = sorted(m[0] for m in marbles)
+    # all marbles on the road latitude (constant r=100)
+    assert abs(lats[0] - lats[-1]) < 1e-9
+
+
+def test_runner_python_apls_fallback(tmp_path):
+    """--no_native path: runner scores with the Python APLS."""
+    import pickle
+    import os
+
+    from sam_road_tpu.metrics.runner import evaluate_apls
+
+    gt = grid_adj(size=352, spacing=80, lo=80, hi=320)
+    run = tmp_path / "run"
+    (run / "graph").mkdir(parents=True)
+    with open(run / "graph" / "SYN_0.p", "wb") as f:
+        pickle.dump(gt, f)
+    # synthetic spacenet-style split
+    sn = tmp_path / "spacenet"
+    sn.mkdir()
+    import json
+
+    json.dump({"train": [], "validation": [], "test": ["SYN_0"]},
+              open(sn / "data_split.json", "w"))
+    rgbdir = sn / "RGB_1.0_meter"
+    rgbdir.mkdir()
+    with open(rgbdir / "SYN_0__gt_graph.p", "wb") as f:
+        pickle.dump(gt, f)
+    mean = evaluate_apls(str(run), dataset="spacenet", data_root=str(tmp_path),
+                         use_native=False)
+    assert mean > 0.9  # identical graphs
+    assert os.path.exists(run / "score" / "apls.json")
