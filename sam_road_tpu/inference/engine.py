@@ -205,6 +205,11 @@ class TiledInferenceEngine:
         encodes tile N+1 while the host extracts/builds pairs for tile N."""
         cfg = self.config
         t0 = time.time()
+        assert img.ndim == 3 and img.shape[0] == img.shape[1], (
+            f"region must be square HxWx3, got {img.shape} — the patch grid "
+            "planner follows the reference's square-tile assumption "
+            "(inferencer.py:63)"
+        )
         image_size = img.shape[0]
         all_patch_info = get_patch_info_one_img(
             0, image_size, cfg.SAMPLE_MARGIN, self.patch_size,

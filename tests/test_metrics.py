@@ -182,3 +182,13 @@ def test_runner_python_apls_fallback(tmp_path):
                          use_native=False)
     assert mean > 0.9  # identical graphs
     assert os.path.exists(run / "score" / "apls.json")
+
+
+def test_apls_and_topo_spacenet_params():
+    """Small-tile (spacenet) parameter sets: identical graphs score ~1."""
+    gt = grid_adj(size=352, spacing=60, lo=60, hi=300)
+    a, b, m = apls_score(sat2graph_to_apls_json(gt), sat2graph_to_apls_json(gt),
+                         spacenet=True)
+    assert m > 0.97, m
+    p, r, f1 = topo_score_one_tile(gt, gt, spacenet=True)
+    assert f1 > 0.97, (p, r, f1)
