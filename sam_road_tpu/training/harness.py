@@ -97,9 +97,17 @@ def _label_tree(params):
 
 
 def make_train_step(config) -> Callable:
-    """One jitted optimization step: forward, losses, grads, Adam update."""
+    """One jitted optimization step: forward, losses, grads, Adam update.
+
+    Non-finite guard: the reference drops into pdb when the loss goes NaN
+    (reference: model.py:526-533); a jitted TPU loop can't stop the program
+    mid-step, so instead any step with a non-finite loss or gradient leaves
+    params/opt-state untouched and reports aux["skipped"]=1 for the host loop
+    to count. Optional gradient clipping via config.GRAD_CLIP_NORM (off when
+    0/unset — the reference has no clipping)."""
     model = build_model(config)
     use_focal = bool(config.FOCAL_LOSS)
+    clip_norm = float(config.GRAD_CLIP_NORM or 0.0)
 
     def loss_fn(params, batch, dropout_rng):
         mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
@@ -123,8 +131,23 @@ def make_train_step(config) -> Callable:
     def train_step(state: TrainState, batch, dropout_rng, tx):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(state.params, batch, dropout_rng)
+        grad_norm = optax.global_norm(grads)
+        if clip_norm > 0.0:
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(grad_norm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        finite = jnp.isfinite(aux["loss"]) & jnp.isfinite(grad_norm)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # select old vs new wholesale: NaN grads poison opt moments too
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_params, state.params
+        )
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_opt_state, state.opt_state
+        )
+        aux = dict(aux)
+        aux["grad_norm"] = grad_norm
+        aux["skipped"] = 1.0 - finite.astype(jnp.float32)
         return (
             TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
             aux,
@@ -288,19 +311,26 @@ class Trainer:
         return path
 
     def restore(self, path: str) -> int:
-        """Restore a full train state; returns the next epoch to run."""
+        """Restore a full train state; returns the next epoch to run.
+
+        Restores against the live state as the target pytree so optax's
+        named-tuple opt-state structures are reconstituted by orbax itself
+        (leaf-order unflattening would silently mispair leaves if optax ever
+        reorders its state)."""
         import orbax.checkpoint as ocp
 
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
-        rep = jax.tree_util.tree_map(jnp.asarray, restored["params"])
-        opt = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(self.state.opt_state),
-            jax.tree_util.tree_leaves(restored["opt_state"]),
-        )
+        target = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path), target)
+        rep = replicated_sharding(self.mesh)
         self.state = TrainState(
             step=jnp.asarray(int(restored["step"]), jnp.int32),
-            params=jax.device_put(rep, replicated_sharding(self.mesh)),
-            opt_state=jax.device_put(opt, replicated_sharding(self.mesh)),
+            params=jax.device_put(restored["params"], rep),
+            opt_state=jax.device_put(restored["opt_state"], rep),
         )
         return int(restored["epoch"]) + 1
 
@@ -338,10 +368,20 @@ def run_validation(config, params, loader):
 
 def load_checkpoint(path: str, init_params=None):
     """Restore params from a Trainer checkpoint (full-state or legacy
-    params-only layout)."""
+    params-only layout). When init_params is given, the restored tree is
+    validated against the model's parameter structure so a wrong-model
+    checkpoint fails here with a clear error instead of at first apply."""
     import orbax.checkpoint as ocp
 
     restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
     if isinstance(restored, dict) and "params" in restored and "step" in restored:
-        return restored["params"]
+        restored = restored["params"]
+    if init_params is not None:
+        want = jax.tree_util.tree_structure(init_params)
+        got = jax.tree_util.tree_structure(restored)
+        if want != got:
+            raise ValueError(
+                f"checkpoint at {path} does not match the model's parameter "
+                f"tree (checkpoint: {got}, model: {want})"
+            )
     return restored

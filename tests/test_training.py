@@ -90,6 +90,80 @@ def test_train_step_on_8dev_mesh(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_nonfinite_step_skipped():
+    """A NaN batch must leave params and opt state untouched and report
+    skipped=1 (TPU-native replacement for the reference's pdb NaN trap,
+    reference: model.py:526-533)."""
+    cfg = _tiny_cfg()
+    params = init_params(cfg)
+    trainer = Trainer(
+        config=cfg, params=params, output_dir="/tmp/x", steps_per_epoch=10
+    )
+    good = _fake_batch(cfg)
+    trainer.train_epoch([good], epoch=0)
+    before = jax.device_get(trainer.state.params)
+    bad = dict(good)
+    bad["rgb"] = np.full_like(good["rgb"], np.nan)
+    logs = trainer.train_epoch([bad], epoch=0)
+    assert logs[0]["skipped"] == 1.0
+    after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the loop recovers on the next good batch
+    logs = trainer.train_epoch([good], epoch=0)
+    assert logs[0]["skipped"] == 0.0 and np.isfinite(logs[0]["loss"])
+
+
+def test_grad_clip_bounds_update():
+    cfg = _tiny_cfg(GRAD_CLIP_NORM=1e-8)
+    params = init_params(cfg)
+    trainer = Trainer(
+        config=cfg, params=params, output_dir="/tmp/x", steps_per_epoch=10
+    )
+    before = jax.device_get(trainer.state.params)
+    trainer.train_epoch([_fake_batch(cfg)], epoch=0)
+    after = jax.device_get(trainer.state.params)
+    # with a near-zero clip norm the Adam update magnitude stays bounded by
+    # the LR; params move, but barely
+    deltas = [
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+    ]
+    assert 0 < max(deltas) <= 2 * float(cfg.BASE_LR)
+
+
+def test_trainer_restore_roundtrip(tmp_path):
+    """Full-state resume: params, opt moments and step survive a save/restore
+    through orbax with the live state as restore target."""
+    cfg = _tiny_cfg()
+    trainer = Trainer(
+        config=cfg, params=init_params(cfg), output_dir=str(tmp_path),
+        steps_per_epoch=10,
+    )
+    batch = _fake_batch(cfg)
+    trainer.train_epoch([batch, batch], epoch=0)
+    path = trainer.save_checkpoint(epoch=0)
+    want_step = int(trainer.state.step)
+    want_params = jax.device_get(trainer.state.params)
+    want_opt = jax.device_get(trainer.state.opt_state)
+
+    fresh = Trainer(
+        config=cfg, params=init_params(cfg), output_dir=str(tmp_path),
+        steps_per_epoch=10,
+    )
+    next_epoch = fresh.restore(path)
+    assert next_epoch == 1
+    assert int(fresh.state.step) == want_step
+    for a, b in zip(
+        jax.tree.leaves(want_params), jax.tree.leaves(jax.device_get(fresh.state.params))
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(want_opt), jax.tree.leaves(jax.device_get(fresh.state.opt_state))
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_frozen_encoder_unchanged():
     cfg = _tiny_cfg(FREEZE_ENCODER=True)
     params = init_params(cfg)
