@@ -181,10 +181,23 @@ def _match_count(sources, targets, threshold, one2one):
     Python calls per tile (~160 s); candidate pairs are gathered once via a
     KD-tree and filtered with numpy (same semantics — latlon_norm uses the
     reference's fixed lat=40 cosine)."""
-    if not sources or not targets:
+    if len(sources) == 0 or len(targets) == 0:
         return 0
-    src = np.asarray(sources, dtype=np.float64)  # [S, 4]
-    tgt = np.asarray(targets, dtype=np.float64)  # [T, 4]
+    src = np.ascontiguousarray(np.asarray(sources, dtype=np.float64))  # [S, 4]
+    tgt = np.ascontiguousarray(np.asarray(targets, dtype=np.float64))  # [T, 4]
+
+    from sam_road_tpu.metrics._native import load_topo_native
+
+    dll = load_topo_native()
+    if dll is not None:
+        import ctypes
+
+        pf64 = ctypes.POINTER(ctypes.c_double)
+        return int(dll.topo_match(
+            src.ctypes.data_as(pf64), src.shape[0],
+            tgt.ctypes.data_as(pf64), tgt.shape[0],
+            float(threshold), int(one2one),
+        ))
     ttree = cKDTree(tgt[:, :2])
     rr = threshold * 1.8 + 0.00001
     cand_lists = ttree.query_ball_point(src[:, :2], r=rr, p=np.inf)

@@ -9,9 +9,13 @@ used by TOPO121.
 
 from __future__ import annotations
 
+import ctypes
 import math
 
+import numpy as np
+
 from sam_road_tpu.metrics.latlon import distance, xy2latlon
+from sam_road_tpu.metrics._native import load_topo_native
 
 
 class TopoGraph:
@@ -23,6 +27,48 @@ class TopoGraph:
         self.edgeHash = set()  # (local1, local2)
         self._edge_list = []  # insertion order, mirrors reference edge ids
         self.nodeID = 0
+        self._handle = None  # native graph handle (built lazily)
+
+    def __del__(self):
+        self._drop_handle()
+
+    def _drop_handle(self):
+        if self._handle is not None:
+            dll = load_topo_native()
+            if dll is not None:
+                dll.topo_graph_free(self._handle)
+            self._handle = None
+
+    def _native_handle(self):
+        """Build (once) the native CSR mirror of this graph; None when the
+        native library is unavailable. Insertion order of nodeLink /
+        nodeLinkReverse is preserved — TOPOWalk's marble stream depends on
+        neighbor iteration order."""
+        dll = load_topo_native()
+        if dll is None:
+            return None, None
+        if self._handle is None:
+            n = self.nodeID
+            latlon = np.zeros((n, 2), np.float64)
+            for i in range(n):
+                latlon[i, 0], latlon[i, 1] = self.nodes[i]
+            fwd_off = np.zeros(n + 1, np.int64)
+            rev_off = np.zeros(n + 1, np.int64)
+            for i in range(n):
+                fwd_off[i + 1] = fwd_off[i] + len(self.nodeLink.get(i, ()))
+                rev_off[i + 1] = rev_off[i] + len(self.nodeLinkReverse.get(i, ()))
+            fwd_adj = np.zeros(int(fwd_off[-1]), np.int64)
+            rev_adj = np.zeros(int(rev_off[-1]), np.int64)
+            for i in range(n):
+                fwd_adj[fwd_off[i]:fwd_off[i + 1]] = self.nodeLink.get(i, ())
+                rev_adj[rev_off[i]:rev_off[i + 1]] = self.nodeLinkReverse.get(i, ())
+            p = ctypes.POINTER(ctypes.c_int64)
+            self._handle = dll.topo_graph_create(
+                n, latlon.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                fwd_off.ctypes.data_as(p), fwd_adj.ctypes.data_as(p),
+                rev_off.ctypes.data_as(p), rev_adj.ctypes.data_as(p),
+            )
+        return dll, self._handle
 
     def addEdge(self, nid1, lat1, lon1, nid2, lat2, lon2):
         """(reference: topo/graph.py:89-131)"""
@@ -44,6 +90,7 @@ class TopoGraph:
         self._edge_list.append([localid1, localid2])
         if localid2 not in self.nodeLink[localid1]:
             self.nodeLink[localid1].append(localid2)
+        self._drop_handle()  # graph mutated; native mirror is stale
 
     @property
     def edges(self):
@@ -51,6 +98,7 @@ class TopoGraph:
 
     def ReverseDirectionLink(self):
         """(reference: topo/graph.py:176-193)"""
+        self._drop_handle()
         self.nodeLinkReverse = {}
         for (a, b) in self.edgeHash:
             self.nodeLinkReverse.setdefault(b, [])
@@ -70,7 +118,27 @@ class TopoGraph:
         (lat, lon, dlat, dlon) carrying the local edge direction. With
         bidirection=True, edges present in both directions emit a duplicate
         marble offset by +0.00001 (the reference's precision-side hack).
+
+        Hot path: dispatches to the C++ port (native/topo.cc) when built —
+        identical marble stream (tests assert bit-equality); this pure-Python
+        body is the spec and the fallback.
         """
+        dll, handle = self._native_handle()
+        if dll is not None:
+            cap = 65536
+            while True:
+                out = np.empty((cap, 4), np.float64)
+                n = dll.topo_walk(
+                    handle, nodeid, step, r, int(direction), int(newstyle),
+                    nid1, nid2, dist1, dist2, int(bidirection),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
+                )
+                if n <= cap:
+                    # ndarray [n, 4] — duck-compatible with the fallback's
+                    # list of tuples for every consumer (len / np.asarray)
+                    return out[:n].copy()
+                cap = n
+
         localNodeDistance = {}
         mables = []
         mables_set = set()
@@ -172,6 +240,13 @@ class TopoGraph:
     def distanceBetweenTwoLocation(self, loc1, loc2, max_distance):
         """Graph distance between two mid-edge locations
         (reference: topo/graph.py:313-425). loc = (n1, n2, d1, d2)."""
+        dll, handle = self._native_handle()
+        if dll is not None:
+            return dll.topo_loc_distance(
+                handle, int(loc1[0]), int(loc1[1]), float(loc1[2]),
+                float(loc1[3]), int(loc2[0]), int(loc2[1]), float(loc2[2]),
+                float(loc2[3]), float(max_distance),
+            )
         if loc1[0] == loc2[0] and loc1[1] == loc2[1]:
             return abs(loc1[2] - loc2[2])
         if loc1[0] == loc2[1] and loc1[1] == loc2[0]:
