@@ -58,12 +58,17 @@ class TiledInferenceEngine:
         """
         Args:
           mesh: optional jax.sharding.Mesh with a 'dp' axis. When given with
-            more than one device, each patch batch is sharded across chips:
-            every chip crops/encodes its patch shard and accumulates into its
-            own fused-mask replica; the replicas are summed once at finalize
-            (addition is commutative, so results match single-chip exactly up
-            to float summation order). This is the region-scale-out path the
-            reference lacks (its pipeline is single-GPU, SURVEY §2.2).
+            more than one device, the patch grid is sharded SPATIALLY: each
+            chip takes a contiguous band of patch rows and accumulates masks
+            into a band-sized buffer (band + patch-height halo), NOT a full
+            region replica — per-chip fusion memory is O(H/n + P) rows, so
+            regions scale with the mesh (the round-1 full-replica design was
+            O(H) per chip). Bands are summed at their offsets once at
+            finalize. Mask accumulation is integer (1/1024 fixed point), so
+            single-chip and any mesh size produce BIT-IDENTICAL masks —
+            integer addition is associative, float is not. This is the
+            region-scale-out path the reference lacks (single-GPU pipeline,
+            SURVEY §2.2).
         """
         self.config = config
         self.model = build_model(config)
@@ -79,21 +84,11 @@ class TiledInferenceEngine:
             )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rep = NamedSharding(mesh, P())
+            self._b_local = self.batch_size // self.n_shards
+            self._rep = NamedSharding(mesh, P())
             self._shard = NamedSharding(mesh, P("dp"))
-            self._rep = rep
-            self.params = jax.device_put(params, rep)
-            sharded = jax.shard_map(
-                self._phase1_local,
-                mesh=mesh,
-                in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-                out_specs=(P("dp"), P("dp"), P("dp")),
-                check_vma=False,
-            )
-            self._phase1 = jax.jit(sharded, donate_argnums=(4, 5))
-            self._finalize = jax.jit(
-                lambda f, c: self._finalize_impl(f.sum(0), c.sum(0))
-            )
+            self.params = jax.device_put(params, self._rep)
+            self._sharded_cache: dict = {}
         else:
             self.params = jax.device_put(params)
             self._phase1_region = jax.jit(self._phase1_region_impl)
@@ -104,14 +99,22 @@ class TiledInferenceEngine:
 
     # ---------- jitted programs ----------
 
-    def _phase1_impl(self, params, img_u8, x0s, y0s, fused, counter, weights):
+    # Mask scores accumulate as int32 fixed point (1/1024 steps, well below
+    # the final uint8 grid of 1/255): integer sums are associative, so any
+    # patch->device assignment and any mesh size produce bit-identical fused
+    # masks. Max ~30 overlapping patches/pixel * 1024 stays far from int32.
+    MASK_QUANT = 1024.0
+
+    def _phase1_impl(self, params, img_u8, x0s, y0s, fused, counter, weights,
+                     y_off=0):
         """One patch batch: on-device patch crops + masks + features + fusion.
 
         img_u8: [H, W, 3] uint8 — the whole region, resident in HBM (shipped
         over the host link ONCE per region; the reference re-uploads every
         patch, inferencer.py:91-94, which costs ~16x the bytes).
-        x0s/y0s: [B] int32 patch origins; fused: [H, W, 2] f32 accumulator;
-        counter: [H, W] f32; weights: [B] f32 (0 for padding patches).
+        x0s/y0s: [B] int32 patch origins; fused: [bh, W, 2] int32 accumulator
+        covering rows [y_off, y_off + bh); counter: [bh, W] int32;
+        weights: [B] int32 (0 for padding patches).
         """
         p = self.patch_size
         patches_u8 = jax.vmap(
@@ -121,15 +124,16 @@ class TiledInferenceEngine:
         mask_scores, feats = self.model.apply(
             {"params": params}, rgb, method=SAMRoad.infer_masks_and_features
         )
+        quant = jnp.round(
+            mask_scores.astype(jnp.float32) * self.MASK_QUANT
+        ).astype(jnp.int32)
 
         def body(i, carry):
             fused, counter = carry
             w = weights[i]
-            x0, y0 = x0s[i], y0s[i]
-            p = self.patch_size
-            patch_scores = mask_scores[i] * w  # [P, P, 2]
+            x0, y0 = x0s[i], y0s[i] - y_off
             cur = jax.lax.dynamic_slice(fused, (y0, x0, 0), (p, p, 2))
-            fused = jax.lax.dynamic_update_slice(fused, cur + patch_scores, (y0, x0, 0))
+            fused = jax.lax.dynamic_update_slice(fused, cur + quant[i] * w, (y0, x0, 0))
             cur_c = jax.lax.dynamic_slice(counter, (y0, x0), (p, p))
             counter = jax.lax.dynamic_update_slice(counter, cur_c + w, (y0, x0))
             return fused, counter
@@ -150,8 +154,8 @@ class TiledInferenceEngine:
         C], masks uint8 [H, W, 2]).
         """
         H = img_u8.shape[0]
-        fused0 = jnp.zeros((H, H, 2), jnp.float32)
-        counter0 = jnp.zeros((H, H), jnp.float32)
+        fused0 = jnp.zeros((H, H, 2), jnp.int32)
+        counter0 = jnp.zeros((H, H), jnp.int32)
 
         def step(carry, xyw):
             fused, counter = carry
@@ -166,24 +170,115 @@ class TiledInferenceEngine:
         )
         return feats, self._finalize_impl(fused, counter)
 
-    def _phase1_local(self, params, img_u8, x0s, y0s, fused, counter, weights):
-        """Per-device body for the sharded phase 1: identical math on the
-        local patch shard, accumulating into the local fused replica
-        (leading axis 1 = this device's slot)."""
-        feats, f, c = self._phase1_impl(
-            params, img_u8, x0s, y0s, fused[0], counter[0], weights
-        )
-        return feats, f[None], c[None]
-
     def _finalize_impl(self, fused, counter):
         """Average + quantize masks on device so only uint8 leaves the chip
         (the reference downloads fp32 then converts on host,
         inferencer.py:106-110)."""
-        avg = fused / jnp.maximum(counter[..., None], 1e-20)
+        denom = (jnp.maximum(counter, 1) * int(self.MASK_QUANT)).astype(jnp.float32)
+        avg = fused.astype(jnp.float32) / denom[..., None]
         avg = jnp.where(counter[..., None] > 0, avg, 0.0)
         return (avg * 255.0).astype(jnp.uint8)
 
+    # ---------- sharded phase 1 (band accumulators) ----------
+
+    def _band_assignment(self, all_patch_info, image_size):
+        """Assign patch ROWS to devices in contiguous near-equal chunks.
+        Returns (per_dev patch-index lists, band row offsets [n], band_h)."""
+        n = self.n_shards
+        rows = sorted({info[1][1] for info in all_patch_info})
+        base, extra = divmod(len(rows), n)
+        row_dev = {}
+        r = 0
+        for d in range(n):
+            take = base + (1 if d < extra else 0)
+            for y0 in rows[r : r + take]:
+                row_dev[y0] = d
+            r += take
+        per_dev = [[] for _ in range(n)]
+        for gi, info in enumerate(all_patch_info):
+            per_dev[row_dev[info[1][1]]].append(gi)
+        offs = []
+        band_h = self.patch_size
+        for d in range(n):
+            ys = [all_patch_info[gi][1][1] for gi in per_dev[d]]
+            off = min(ys) if ys else 0
+            offs.append(off)
+            if ys:
+                band_h = max(band_h, max(ys) - off + self.patch_size)
+        band_h = min(band_h, image_size)
+        return per_dev, offs, band_h
+
+    def _get_sharded_phase1(self, image_size, rounds, band_h):
+        """Memoized jitted program: shard_map over 'dp', each device scans
+        its rounds, cropping + encoding its patches and accumulating into a
+        band-sized int32 buffer at its row offset."""
+        key = (image_size, rounds, band_h)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+        from jax.sharding import PartitionSpec as P
+
+        b = self._b_local
+
+        def body(params, img, x0s, y0s, ws, offs):
+            # local shapes: x0s/y0s/ws [1, rounds, b], offs [1, 1]
+            x0s, y0s, ws, off = x0s[0], y0s[0], ws[0], offs[0, 0]
+            W = img.shape[1]
+            band0 = jnp.zeros((band_h, W, 2), jnp.int32)
+            cnt0 = jnp.zeros((band_h, W), jnp.int32)
+
+            def round_step(carry, xyw):
+                band, cnt = carry
+                bx, by, bw = xyw
+                feats, band, cnt = self._phase1_impl(
+                    params, img, bx, by, band, cnt, bw, y_off=off
+                )
+                return (band, cnt), feats
+
+            (band, cnt), feats = jax.lax.scan(
+                round_step, (band0, cnt0), (x0s, y0s, ws)
+            )
+            return feats[None], band[None], cnt[None]
+
+        sharded = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp"), P("dp")),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        self._sharded_cache[key] = fn
+        return fn
+
+    def _get_band_finalize(self, image_size, band_h, offs):
+        """Memoized jitted band reduction: scatter-add each device's band at
+        its row offset, then average + quantize."""
+        key = ("fin", image_size, band_h, tuple(offs))
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+        H = image_size
+        Hp = max(H, max(offs) + band_h)
+
+        def fin(bands, cnts):  # [n, band_h, W, 2] int32, [n, band_h, W]
+            W = bands.shape[2]
+            full = jnp.zeros((Hp, W, 2), jnp.int32)
+            cfull = jnp.zeros((Hp, W), jnp.int32)
+            for d, off in enumerate(offs):
+                cur = jax.lax.dynamic_slice(full, (off, 0, 0), (band_h, W, 2))
+                full = jax.lax.dynamic_update_slice(
+                    full, cur + bands[d], (off, 0, 0)
+                )
+                cc = jax.lax.dynamic_slice(cfull, (off, 0), (band_h, W))
+                cfull = jax.lax.dynamic_update_slice(cfull, cc + cnts[d], (off, 0))
+            return self._finalize_impl(full[:H], cfull[:H])
+
+        fn = jax.jit(fin)
+        self._sharded_cache[key] = fn
+        return fn
+
     def _phase2_impl(self, params, feats, points, pairs, valid):
+        if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
+            feats = feats.reshape((-1,) + feats.shape[2:])
         return self.model.apply(
             {"params": params},
             feats,
@@ -217,57 +312,77 @@ class TiledInferenceEngine:
         )
         patch_num = len(all_patch_info)
         B = self.batch_size
-        batch_num = (patch_num + B - 1) // B
-
-        if self.n_shards > 1:
-            fused = jax.device_put(
-                jnp.zeros((self.n_shards, image_size, image_size, 2), jnp.float32),
-                self._shard,
-            )
-            counter = jax.device_put(
-                jnp.zeros((self.n_shards, image_size, image_size), jnp.float32),
-                self._shard,
-            )
-            img_dev = jax.device_put(np.ascontiguousarray(img), self._rep)
-        else:
-            # one upload of the whole region (uint8), resident for all batches
-            img_dev = jax.device_put(np.ascontiguousarray(img))
 
         def put_batch(x):
             if self.n_shards > 1:
                 return jax.device_put(x, self._shard)
             return jnp.asarray(x)
 
-        # ---- phase 1: masks + cached features ----
-        x0s = np.zeros((batch_num, B), np.int32)
-        y0s = np.zeros((batch_num, B), np.int32)
-        weights = np.zeros((batch_num, B), np.float32)
-        for bi in range(batch_num):
-            info = all_patch_info[bi * B : (bi + 1) * B]
-            for i, (_, (x0, y0), (x1, y1)) in enumerate(info):
-                x0s[bi, i], y0s[bi, i] = x0, y0
-                weights[bi, i] = 1.0
-
         if self.n_shards > 1:
-            img_features = []
-            for bi in range(batch_num):
-                feats, fused, counter = self._phase1(
-                    self.params, img_dev, put_batch(x0s[bi]),
-                    put_batch(y0s[bi]), fused, counter, put_batch(weights[bi]),
-                )
-                img_features.append(feats)
-            masks_dev = self._finalize(fused, counter)
+            # spatial banding: device d owns a contiguous chunk of patch rows
+            n, b = self.n_shards, self._b_local
+            per_dev, offs, band_h = self._band_assignment(
+                all_patch_info, image_size
+            )
+            rounds = max((len(g) + b - 1) // b for g in per_dev)
+            x0s = np.zeros((n, rounds, b), np.int32)
+            y0s = np.zeros((n, rounds, b), np.int32)
+            weights = np.zeros((n, rounds, b), np.int32)
+            for d in range(n):
+                for j, gi in enumerate(per_dev[d]):
+                    _, (x0, y0), _ = all_patch_info[gi]
+                    x0s[d, j // b, j % b] = x0
+                    y0s[d, j // b, j % b] = y0
+                    weights[d, j // b, j % b] = 1
+            img_dev = jax.device_put(np.ascontiguousarray(img), self._rep)
+            offs_arr = np.asarray(offs, np.int32).reshape(n, 1)
+            feats, bands, cnts = self._get_sharded_phase1(
+                image_size, rounds, band_h
+            )(
+                self.params, img_dev, put_batch(x0s), put_batch(y0s),
+                put_batch(weights), put_batch(offs_arr),
+            )
+            masks_dev = self._get_band_finalize(image_size, band_h, offs)(
+                bands, cnts
+            )
+            # phase-2 batches: round r pools slot j of every device -> a
+            # full batch of n*b = INFER_BATCH_SIZE patches, feats stay
+            # device-resident and dp-sharded
+            batches = []
+            for r in range(rounds):
+                info = []
+                for d in range(n):
+                    for s in range(b):
+                        j = r * b + s
+                        info.append(
+                            all_patch_info[per_dev[d][j]]
+                            if j < len(per_dev[d]) else None
+                        )
+                batches.append((feats[:, r], info))
         else:
-            # one dispatch for the whole region (scan over batches on device)
+            batch_num = (patch_num + B - 1) // B
+            x0s = np.zeros((batch_num, B), np.int32)
+            y0s = np.zeros((batch_num, B), np.int32)
+            weights = np.zeros((batch_num, B), np.int32)
+            for bi in range(batch_num):
+                info = all_patch_info[bi * B : (bi + 1) * B]
+                for i, (_, (x0, y0), (x1, y1)) in enumerate(info):
+                    x0s[bi, i], y0s[bi, i] = x0, y0
+                    weights[bi, i] = 1
+            # one upload of the whole region (uint8), resident for all
+            # batches; one dispatch (scan over batches on device)
+            img_dev = jax.device_put(np.ascontiguousarray(img))
             img_features, masks_dev = self._phase1_region(
                 self.params, img_dev, jnp.asarray(x0s), jnp.asarray(y0s),
                 jnp.asarray(weights),
             )
+            batches = [
+                (img_features[bi], list(all_patch_info[bi * B : (bi + 1) * B]))
+                for bi in range(batch_num)
+            ]
         return dict(
             image_size=image_size,
-            all_patch_info=all_patch_info,
-            batch_num=batch_num,
-            img_features=img_features,
+            batches=batches,
             masks_dev=masks_dev,
             put_batch=put_batch,
             t0=t0,
@@ -277,9 +392,7 @@ class TiledInferenceEngine:
         """Host half: fetch masks, extract vertices, score + aggregate edges."""
         cfg = self.config
         t0 = p1["t0"]
-        all_patch_info = p1["all_patch_info"]
-        batch_num = p1["batch_num"]
-        img_features = p1["img_features"]
+        batches = p1["batches"]
         put_batch = p1["put_batch"]
         B = self.batch_size
 
@@ -300,48 +413,27 @@ class TiledInferenceEngine:
                 fused_road_mask,
             )
 
-        from sam_road_tpu.graph.spatial import PointGridIndex
-
-        index = PointGridIndex(graph_points, cell_size=self.patch_size / 4)
-
         # ---- phase 2: TopoNet edge scoring over cached features ----
         max_nbr = int(cfg.MAX_NEIGHBOR_QUERIES)
         radius = float(cfg.NEIGHBOR_RADIUS)
         all_src, all_tgt, all_score = [], [], []
         pending = []  # (device scores, per_patch metadata) per batch
-        from scipy.spatial import cKDTree
+        from sam_road_tpu.inference.pairs import build_pairs_for_boxes
 
-        for bi in range(batch_num):
-            info = all_patch_info[bi * B : (bi + 1) * B]
-            per_patch = []
-            max_pts = 0
-            for _, (x0, y0), (x1, y1) in info:
-                pidx = index.query_box((x0, y0, x1, y1))
-                pts = graph_points[pidx].astype(np.float32) - np.array(
-                    [[x0, y0]], np.float32
-                )
-                n = pts.shape[0]
-                if n > 0:
-                    tree = cKDTree(pts)
-                    knn_d, knn_idx = tree.query(
-                        pts, k=min(max_nbr + 1, max(n, 2)),
-                        distance_upper_bound=radius,
-                    )
-                    if knn_idx.ndim == 1:
-                        knn_idx = knn_idx[:, None]
-                    knn_idx = knn_idx[:, 1:]  # drop self
-                    if knn_idx.shape[1] < max_nbr:
-                        pad = np.full((n, max_nbr - knn_idx.shape[1]), n, dtype=np.int64)
-                        knn_idx = np.concatenate([knn_idx, pad], axis=1)
-                    src = np.tile(np.arange(n)[:, None], (1, max_nbr))
-                    valid = knn_idx < n
-                    tgt = np.where(valid, knn_idx, src)
-                    pairs = np.stack([src, tgt], axis=-1)
-                else:
-                    pairs = np.zeros((0, max_nbr, 2), np.int64)
-                    valid = np.zeros((0, max_nbr), bool)
-                per_patch.append((pidx, pts, pairs, valid))
-                max_pts = max(max_pts, pts.shape[0])
+        for feats_b, info in batches:
+            # one native call per batch: box gather + kNN + pair layout for
+            # every patch (None slots from the sharded band layout become
+            # degenerate boxes -> empties)
+            boxes = np.array(
+                [
+                    (entry[1][0], entry[1][1], entry[2][0], entry[2][1])
+                    if entry is not None else (0.0, 0.0, -1.0, -1.0)
+                    for entry in info
+                ],
+                np.float64,
+            )
+            per_patch = build_pairs_for_boxes(graph_points, boxes, max_nbr, radius)
+            max_pts = max(p[1].shape[0] for p in per_patch)
 
             if max_pts == 0:
                 continue
@@ -357,9 +449,10 @@ class TiledInferenceEngine:
                 bvalid[i, :n] = valid
 
             # dispatch only (async) — fetching here would serialize host
-            # pair-building with device scoring
+            # pair-building with device scoring. Sharded feats arrive as
+            # [n, b, h, w, C] and merge to the batch axis inside the jit.
             scores_dev = self._phase2(
-                self.params, img_features[bi], put_batch(bpoints),
+                self.params, feats_b, put_batch(bpoints),
                 put_batch(bpairs), put_batch(bvalid),
             )
             pending.append((scores_dev, per_patch))

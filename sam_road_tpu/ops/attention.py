@@ -1,10 +1,18 @@
-"""Pallas fused attention for the encoder's global blocks.
+"""Pallas fused attention for the encoder blocks.
 
 The hot path is softmax(q~ @ k~^T) @ v where q~/k~ already carry the
 decomposed rel-pos bias as extra contraction dims (see models/vit.py). The
-XLA path materializes the (N, N) fp32 score matrix in HBM; this kernel keeps
-scores + probabilities entirely in VMEM (N=1024, fp32 scores = 4 MB/program)
-— one program per (batch, head).
+XLA path materializes the (N, N) fp32 score matrix in HBM; these kernels
+keep scores in VMEM. Dispatch by a VMEM budget:
+
+- whole-N kernel (one program per (batch, head)) when 2*N^2 fp32 scores +
+  blocks fit the ~12 MB budget — windows (N=196) and 512px global grids
+  (N=1024) land here with exact softmax;
+- blocked flash (grid over q blocks, kv-tiled with running max/denominator
+  scratch) for large N — the 1024px config's 4096-token global blocks (64 MB
+  of scores would not fit VMEM) and anything larger;
+- plain XLA fallback for large-N shapes the tiler can't split (N not a
+  multiple of 128).
 
 Differentiable via custom_vjp: the backward pass recomputes scores with
 plain XLA ops (training batches are small; inference never differentiates).
@@ -21,6 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # of ~16 MB/core, leave headroom
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref):
     # blocks: q/k (1, N, D), v (1, N, dv), o (1, N, dv)
     q = q_ref[0]
@@ -35,24 +46,108 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
+def _blocked_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk):
+    """True flash: kv-tiled with running max/denominator. Grid is
+    (B*H, n_q_blocks, n_kv_blocks) — the kv axis is the fastest (sequential
+    on TPU), so the (m, l, acc) scratch carries across kv steps and the
+    output block is written once on the last step."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (bk, D)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[...] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[...] = acc
+
+    @pl.when(kb == nk - 1)
+    def _done():
+        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
+
+
+def _whole_bytes(N, D, dv, itemsize):
+    """VMEM estimate of the whole-N kernel: q/k/v/o blocks + f32 scores x2
+    (scores and exp live simultaneously)."""
+    return (2 * N * D + 2 * N * dv) * itemsize + 2 * N * N * 4
+
+
+def _pick_block(N, target):
+    for b in (target, 512, 256, 128):
+        if b <= N and N % b == 0:
+            return b
+    return 0
+
+
 def _flash_forward(q, k, v, interpret: bool):
     B, H, N, D = q.shape
     dv = v.shape[-1]
     qf = q.reshape(B * H, N, D)
     kf = k.reshape(B * H, N, D)
     vf = v.reshape(B * H, N, dv)
+
+    if _whole_bytes(N, D, dv, q.dtype.itemsize) <= _VMEM_BUDGET_BYTES:
+        # small N (windows, <=~1024-token grids): one program per (b, h),
+        # exact softmax, scores never leave VMEM
+        out = pl.pallas_call(
+            _flash_kernel,
+            out_shape=jax.ShapeDtypeStruct((B * H, N, dv), v.dtype),
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, N, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(B, H, N, dv)
+
+    bq = _pick_block(N, 512)
+    bk = _pick_block(N, 1024)
+    if not bq or not bk:
+        # shape the kernel can't tile (large N not 128-divisible): XLA path
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    nk = N // bk
+    import functools as _ft
+
     out = pl.pallas_call(
-        _flash_kernel,
+        _ft.partial(_blocked_kernel, nk=nk),
         out_shape=jax.ShapeDtypeStruct((B * H, N, dv), v.dtype),
-        grid=(B * H,),
+        grid=(B * H, N // bq, nk),
         in_specs=[
-            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda i, qi, ki: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dv), lambda i, qi, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, N, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, bq, dv), lambda i, qi, ki: (i, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, N, dv)
