@@ -100,7 +100,10 @@ def main(argv=None):
     for epoch in range(start_epoch, epochs):
         with maybe_trace(config.TRACE_DIR or None):
             trainer.train_epoch(train_loader, epoch)
-        metrics = trainer.validate(val_loader)
+        metrics = trainer.validate(
+            val_loader, epoch=epoch,
+            viz_count=int(config.VAL_VIZ_COUNT or 4),
+        )
         printable = {k: v for k, v in metrics.items() if not k.startswith("_")}
         print(f"epoch {epoch} val: {printable}", flush=True)
         ckpt = trainer.save_checkpoint(epoch)

@@ -93,6 +93,8 @@ DEFAULTS: dict = {
     # Training
     "BATCH_SIZE": 16,
     "DATA_WORKER_NUM": 0,
+    "VAL_VIZ_COUNT": 4,  # pred-vs-GT panels saved per val epoch
+    "GRAD_CLIP_NORM": 0,  # 0 = off (reference has no clipping)
     "TRAIN_EPOCHS": 10,
     "BASE_LR": 1e-3,
     "FREEZE_ENCODER": False,

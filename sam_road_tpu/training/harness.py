@@ -262,13 +262,19 @@ class Trainer:
         self.history.extend(logs)
         return logs
 
-    def validate(self, loader):
+    def validate(self, loader, epoch: int | None = None, viz_count: int = 0):
+        """Streaming validation metrics; with viz_count > 0, also writes
+        pred-vs-GT mask panels for the first batch into
+        <output_dir>/val_viz (reference: model.py:571-581 logs wandb image
+        tables per val epoch)."""
         total = None
         n = 0
         for batch in loader:
             batch = shard_batch(self.mesh, batch)
             out = self._eval_step(self.state.params, batch)
             out = jax.tree.map(np.asarray, out)
+            if n == 0 and viz_count > 0:
+                self._save_val_viz(batch, epoch or 0, viz_count)
             if total is None:
                 total = out
             else:
@@ -291,6 +297,26 @@ class Trainer:
             "topo": total["topo_pr"],
         }
         return metrics
+
+    def _save_val_viz(self, batch, epoch: int, count: int):
+        from sam_road_tpu.models.sam_road import SAMRoad
+        from sam_road_tpu.utils.viz import save_val_visualizations
+
+        if not hasattr(self, "_mask_scores_fn"):
+            model = build_model(self.config)
+            self._mask_scores_fn = jax.jit(
+                lambda p, rgb: model.apply(
+                    {"params": p}, rgb, method=SAMRoad.infer_masks_and_features
+                )[0]
+            )
+        scores = self._mask_scores_fn(self.state.params, batch["rgb"])
+        paths = save_val_visualizations(
+            os.path.join(self.output_dir, "val_viz"), epoch, batch, scores,
+            count=count,
+        )
+        if self.logger is not None:
+            self.logger.log_images("val_masks", paths, step=int(self.state.step))
+        return paths
 
     def save_checkpoint(self, epoch: int):
         """Save the FULL train state (params + optimizer moments + step) so

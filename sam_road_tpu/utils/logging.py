@@ -37,6 +37,17 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_images(self, key: str, paths, step: int | None = None):
+        """Record image artifacts: paths in the JSONL always, wandb.Image
+        when wandb is active (reference: model.py:571-581 val tables)."""
+        if self.disabled:
+            return
+        self.log({key: list(paths)}, step=step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {key: [self._wandb.Image(p) for p in paths]}, step=step
+            )
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()

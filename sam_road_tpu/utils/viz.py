@@ -60,6 +60,56 @@ def rasterize_graph(nodes, edges, viz_img_size, dilation_radius):
     return img
 
 
+def render_val_mask_panel(rgb, gt_keypoint, gt_road, pred_keypoint, pred_road):
+    """One validation sample as [rgb | GT masks | predicted masks]
+    (reference logs rgb/gt/pred image tables per val epoch,
+    model.py:571-581). Masks render keypoint in red over road in green.
+
+    Args:
+      rgb: [H, W, 3] float 0-255. masks: [H, W] float 0-1.
+    Returns an RGB uint8 panel [H, 3W + 16, 3].
+    """
+    h, w = gt_road.shape
+
+    def mask_img(kp, road):
+        img = np.zeros((h, w, 3), np.float32)
+        img[..., 1] = np.clip(road, 0, 1) * 255.0
+        img[..., 0] = np.clip(kp, 0, 1) * 255.0
+        return img
+
+    sep = np.full((h, 8, 3), 255.0, np.float32)
+    panel = np.concatenate(
+        [np.clip(rgb, 0, 255), sep, mask_img(gt_keypoint, gt_road), sep,
+         mask_img(pred_keypoint, pred_road)],
+        axis=1,
+    )
+    return panel.astype(np.uint8)
+
+
+def save_val_visualizations(out_dir, epoch, batch, mask_scores, count=4):
+    """Write up to `count` pred-vs-GT panels for a validation batch."""
+    import os
+
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    scores = np.asarray(mask_scores, np.float32)
+    n = min(int(count), scores.shape[0])
+    paths = []
+    for i in range(n):
+        panel = render_val_mask_panel(
+            np.asarray(batch["rgb"][i]),
+            np.asarray(batch["keypoint_mask"][i]),
+            np.asarray(batch["road_mask"][i]),
+            scores[i, ..., 0],
+            scores[i, ..., 1],
+        )
+        path = os.path.join(out_dir, f"val_epoch{epoch}_sample{i}.png")
+        cv2.imwrite(path, cv2.cvtColor(panel, cv2.COLOR_RGB2BGR))
+        paths.append(path)
+    return paths
+
+
 def visualize_pred_gt_pair(result):
     """Side-by-side pred/GT render for triage (reference: triage.py:74-81)."""
     import cv2

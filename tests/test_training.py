@@ -164,6 +164,27 @@ def test_trainer_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_validation_viz_written(tmp_path):
+    """Pred-vs-GT mask panels land in <output_dir>/val_viz per val epoch
+    (reference logs wandb image tables, model.py:571-581)."""
+    import os
+
+    cfg = _tiny_cfg()
+    trainer = Trainer(
+        config=cfg, params=init_params(cfg), output_dir=str(tmp_path),
+        steps_per_epoch=10,
+    )
+    batch = _fake_batch(cfg)
+    trainer.validate([batch], epoch=3, viz_count=2)
+    files = sorted(os.listdir(tmp_path / "val_viz"))
+    assert files == ["val_epoch3_sample0.png", "val_epoch3_sample1.png"]
+    import cv2
+
+    img = cv2.imread(str(tmp_path / "val_viz" / files[0]))
+    assert img.shape[0] == cfg.PATCH_SIZE
+    assert img.shape[1] == 3 * cfg.PATCH_SIZE + 16
+
+
 def test_frozen_encoder_unchanged():
     cfg = _tiny_cfg(FREEZE_ENCODER=True)
     params = init_params(cfg)

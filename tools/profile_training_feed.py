@@ -1,0 +1,94 @@
+"""Training input-pipeline saturation measurement on the real TPU.
+
+Flagship training shape (ViT-B, 512px, B=16, bf16): measures
+  - the pure device step time (same pre-made batch fed repeatedly), and
+  - steps/s with the real BatchLoader at 1/2/4/8 producer workers
+so the DATA_WORKER_NUM default can be set where the pipeline saturates the
+chip (VERDICT r1 weak #7). Synthetic 1024px tiles so label generation does
+representative geometry work. Never run alongside another TPU process.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from synthetic_data import make_spacenet_fixture
+
+    import jax
+
+    from sam_road_tpu.config import load_config
+    from sam_road_tpu.data.dataset import BatchLoader, SatMapDataset
+    from sam_road_tpu.models.sam_road import init_params
+    from sam_road_tpu.training.harness import Trainer
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    root = "/tmp/feed_synth"
+    os.makedirs(root, exist_ok=True)
+    make_spacenet_fixture(root, image_size=1024, n_train=2, n_val=1, n_test=1,
+                          spacing=64)
+
+    B = 16
+    cfg = load_config(overrides=dict(
+        SAM_VERSION="vit_b", DATASET="spacenet", PATCH_SIZE=512,
+        COMPUTE_DTYPE="bfloat16", BATCH_SIZE=B, BASE_LR=1e-3,
+        TOPO_SAMPLE_NUM=128, MAX_NEIGHBOR_QUERIES=16,
+    ))
+    params = init_params(cfg)
+    trainer = Trainer(config=cfg, params=params, output_dir="/tmp/feed_run",
+                      steps_per_epoch=100)
+    ds = SatMapDataset(cfg, is_train=True, data_root=root)
+
+    results = {}
+
+    # pure device step: one batch, fed repeatedly
+    loader = BatchLoader(ds, B, num_batches=1, num_workers=1)
+    batch = next(iter(loader))
+    from sam_road_tpu.parallel.mesh import shard_batch
+
+    sb = shard_batch(trainer.mesh, batch)
+    rng = jax.random.PRNGKey(0)
+    trainer.state, aux = trainer._train_step(trainer.state, sb, rng)  # compile
+    float(aux["loss"])
+    t0 = time.time()
+    N = 10
+    for _ in range(N):
+        trainer.state, aux = trainer._train_step(trainer.state, sb, rng)
+    float(aux["loss"])
+    step_s = (time.time() - t0) / N
+    results["device_step_ms"] = round(step_s * 1e3, 1)
+    results["device_steps_per_s"] = round(1.0 / step_s, 2)
+
+    # fed pipeline at increasing worker counts
+    for workers in (1, 2, 4, 8):
+        loader = BatchLoader(ds, B, num_batches=16, num_workers=workers,
+                             prefetch=8)
+        it = iter(loader)
+        b0 = next(it)  # let producers spin up
+        sb = shard_batch(trainer.mesh, b0)
+        trainer.state, aux = trainer._train_step(trainer.state, sb, rng)
+        float(aux["loss"])
+        t0 = time.time()
+        n = 0
+        for batch in it:
+            sb = shard_batch(trainer.mesh, batch)
+            trainer.state, aux = trainer._train_step(trainer.state, sb, rng)
+            n += 1
+        float(aux["loss"])
+        dt = (time.time() - t0) / max(n, 1)
+        results[f"steps_per_s_{workers}w"] = round(1.0 / dt, 2)
+    results["saturation_pct_8w"] = round(
+        100 * results["steps_per_s_8w"] / results["device_steps_per_s"], 1)
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
