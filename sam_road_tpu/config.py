@@ -95,6 +95,10 @@ DEFAULTS: dict = {
     "DATA_WORKER_NUM": 0,
     "VAL_VIZ_COUNT": 4,  # pred-vs-GT panels saved per val epoch
     "GRAD_CLIP_NORM": 0,  # 0 = off (reference has no clipping)
+    # Inference fast path: fused Pallas encoder blocks (naive decoder,
+    # no LoRA); kernel version 2 = split attention/MLP grouped-window kernels
+    "FUSED_ENCODER": False,
+    "FUSED_KERNEL_VERSION": 2,
     "TRAIN_EPOCHS": 10,
     "BASE_LR": 1e-3,
     "FREEZE_ENCODER": False,

@@ -77,6 +77,12 @@ class TiledInferenceEngine:
         self.point_bucket = point_bucket
         self.patch_size = int(config.PATCH_SIZE)
         self.batch_size = int(config.INFER_BATCH_SIZE)
+        self._fused_encoder = bool(config.FUSED_ENCODER)
+        if self._fused_encoder:
+            assert not self.model.spec.use_sam_decoder and \
+                self.model.spec.lora_rank == 0, (
+                    "FUSED_ENCODER supports the naive decoder without LoRA"
+                )
         if self.n_shards > 1:
             assert self.batch_size % self.n_shards == 0, (
                 f"INFER_BATCH_SIZE {self.batch_size} must divide by mesh size "
@@ -98,6 +104,33 @@ class TiledInferenceEngine:
         self.last_timings: dict = {}
 
     # ---------- jitted programs ----------
+
+    def _infer_masks_feats(self, params, rgb):
+        """Phase-1 model forward: masks + feature maps. With
+        config.FUSED_ENCODER, the encoder runs through the fused Pallas
+        block kernels (models/fast_encoder.py) instead of the flax module —
+        identical math, fewer HBM round-trips."""
+        if not self._fused_encoder:
+            return self.model.apply(
+                {"params": params}, rgb, method=SAMRoad.infer_masks_and_features
+            )
+        from sam_road_tpu.models.decoder import MapDecoder
+        from sam_road_tpu.models.fast_encoder import encoder_forward_fused
+        from sam_road_tpu.models.sam_road import PIXEL_MEAN, PIXEL_STD
+
+        spec = self.model.spec
+        mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
+        std = jnp.asarray(PIXEL_STD, jnp.float32)
+        x = ((rgb.astype(jnp.float32) - mean) / std).astype(spec.dtype)
+        emb = encoder_forward_fused(
+            params["image_encoder"], x, sam_version=spec.sam_version,
+            img_size=spec.patch_size, dtype=spec.dtype,
+            kernel_version=int(self.config.FUSED_KERNEL_VERSION or 2),
+        )
+        logits = MapDecoder(dtype=spec.dtype).apply(
+            {"params": params["map_decoder"]}, emb
+        )
+        return jax.nn.sigmoid(logits.astype(jnp.float32)), emb
 
     # Mask scores accumulate as int32 fixed point (1/1024 steps, well below
     # the final uint8 grid of 1/255): integer sums are associative, so any
@@ -121,9 +154,7 @@ class TiledInferenceEngine:
             lambda x0, y0: jax.lax.dynamic_slice(img_u8, (y0, x0, 0), (p, p, 3))
         )(x0s, y0s)
         rgb = patches_u8.astype(jnp.float32)
-        mask_scores, feats = self.model.apply(
-            {"params": params}, rgb, method=SAMRoad.infer_masks_and_features
-        )
+        mask_scores, feats = self._infer_masks_feats(params, rgb)
         quant = jnp.round(
             mask_scores.astype(jnp.float32) * self.MASK_QUANT
         ).astype(jnp.int32)

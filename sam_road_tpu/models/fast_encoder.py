@@ -21,7 +21,11 @@ import jax.numpy as jnp
 
 from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table
 from sam_road_tpu.ops.attention import fused_attention
-from sam_road_tpu.ops.fused_block import fused_window_block
+from sam_road_tpu.ops.fused_block import (
+    _round_up8,
+    fused_window_block,
+    fused_window_block_v2,
+)
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -109,9 +113,15 @@ def _unpartition(xw, ws, pad_hw, hw, B):
 def encoder_forward_fused(params, x, sam_version: str = "vit_b",
                           img_size: int = 512, window_size: int = 14,
                           dtype=jnp.bfloat16, interpret: bool = False,
-                          group: int = 1):
+                          group: int = 1, kernel_version: int = 1,
+                          group_attn: int = 4, group_mlp: int = 2):
     """Full encoder forward on the standard param tree with fused windowed
-    blocks. x: [B, H, W, 3] normalized input; returns [B, h, w, 256]."""
+    blocks. x: [B, H, W, 3] normalized input; returns [B, h, w, 256].
+
+    kernel_version=2 uses the split attention/MLP kernels over windows
+    padded to a multiple of 8 tokens, which makes the multi-window merge a
+    legal Mosaic reshape so several windows share one program (better MXU
+    shapes for qkv/proj/MLP than version 1's per-window matmuls)."""
     spec = ENCODER_SPECS[sam_version]
     depth = spec["depth"]
     num_heads = spec["num_heads"]
@@ -138,11 +148,24 @@ def encoder_forward_fused(params, x, sam_version: str = "vit_b",
             while j < depth and j not in global_idx:
                 j += 1
             xw, mask, pad_hw = _partition_raw(x, window_size)
-            for bi in range(i, j):
-                xw = fused_window_block(
-                    xw, mask, params[f"blocks_{bi}"], window_size, num_heads,
-                    interpret=not on_tpu, group=group,
-                )
+            if kernel_version == 2:
+                N = window_size * window_size
+                npad = _round_up8(N)
+                xw = jnp.pad(xw, ((0, 0), (0, npad - N), (0, 0)))
+                mask = jnp.pad(mask, ((0, 0), (0, npad - N), (0, 0)))
+                for bi in range(i, j):
+                    xw = fused_window_block_v2(
+                        xw, mask, params[f"blocks_{bi}"], window_size,
+                        num_heads, interpret=not on_tpu,
+                        group_attn=group_attn, group_mlp=group_mlp,
+                    )
+                xw = xw[:, :N]
+            else:
+                for bi in range(i, j):
+                    xw = fused_window_block(
+                        xw, mask, params[f"blocks_{bi}"], window_size,
+                        num_heads, interpret=not on_tpu, group=group,
+                    )
             x = _unpartition(xw, window_size, pad_hw, (H, W), B)
             i = j
 

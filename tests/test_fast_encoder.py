@@ -91,3 +91,92 @@ def test_fast_encoder_grouped_windows():
         )
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_encoder_v2_kernels_match_flax_vit_t():
+    """Split attention/MLP kernels over padded grouped windows (round-2
+    version) must match the flax encoder exactly like version 1."""
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=4, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(6).normal(size=p.shape).astype(p.dtype),
+        jax.tree.map(np.asarray, params),
+    )
+    want = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    # 96px grid 6x6 pads to 8x8 -> 4 windows of 16 tokens; npad = 16 (already
+    # a multiple of 8) exercises zero extra-padding; group 2 exercises the
+    # window merge
+    got = np.asarray(
+        encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+            window_size=4, dtype=jnp.float32, interpret=True,
+            kernel_version=2, group_attn=2, group_mlp=2,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_encoder_v2_nonmultiple_pad():
+    """window 3 -> 9 tokens pads to 16: the npad > N extra-key masking path."""
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=3, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(8).normal(size=p.shape).astype(p.dtype),
+        jax.tree.map(np.asarray, params),
+    )
+    want = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    got = np.asarray(
+        encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+            window_size=3, dtype=jnp.float32, interpret=True,
+            kernel_version=2, group_attn=2, group_mlp=2,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_fused_encoder_path_matches_default():
+    """TiledInferenceEngine with config.FUSED_ENCODER must reproduce the
+    default path's region outputs (same math through the fused kernels;
+    masks may differ by 1 uint8 step from float reassociation)."""
+    from sam_road_tpu.config import load_config
+    from sam_road_tpu.inference.engine import TiledInferenceEngine
+    from sam_road_tpu.models.sam_road import init_params
+
+    over = dict(
+        SAM_VERSION="vit_t", PATCH_SIZE=64, INFER_BATCH_SIZE=8,
+        INFER_PATCHES_PER_EDGE=4, SAMPLE_MARGIN=8, COMPUTE_DTYPE="float32",
+        ITSC_THRESHOLD=0.9, ROAD_THRESHOLD=0.45, TOPO_THRESHOLD=0.4,
+        ITSC_NMS_RADIUS=4, ROAD_NMS_RADIUS=8, NEIGHBOR_RADIUS=24,
+        MAX_NEIGHBOR_QUERIES=4,
+    )
+    cfg = load_config(overrides=over)
+    params = init_params(cfg)
+    img = np.random.default_rng(3).integers(0, 255, (192, 192, 3),
+                                            dtype=np.uint8)
+    base = TiledInferenceEngine(cfg, params, point_bucket=16)
+    nodes0, edges0, kp0, road0 = base.infer_one_img(img)
+
+    cfg_f = load_config(overrides={**over, "FUSED_ENCODER": True})
+    fused_engine = TiledInferenceEngine(cfg_f, params, point_bucket=16)
+    nodes1, edges1, kp1, road1 = fused_engine.infer_one_img(img)
+
+    assert np.abs(kp0.astype(int) - kp1.astype(int)).max() <= 1
+    assert np.abs(road0.astype(int) - road1.astype(int)).max() <= 1
+    assert abs(nodes0.shape[0] - nodes1.shape[0]) <= 2

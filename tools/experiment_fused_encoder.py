@@ -1,0 +1,91 @@
+"""Fused-encoder variants on the real TPU (ViT-B, 512px, B=32, bf16).
+
+Compares the flax encoder against encoder_forward_fused with:
+  v1 group=1   (round-1 fused whole-block kernel)
+  v1 group=4   (newly-unlocked window grouping)
+  v2 ga4/gm2   (split attention/MLP kernels, padded grouped windows)
+  v2 ga8/gm4
+Each variant also checks numerical agreement with the flax output.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(only=None):
+    import jax
+    import jax.numpy as jnp
+
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from sam_road_tpu.models.fast_encoder import encoder_forward_fused
+    from sam_road_tpu.models.vit import ImageEncoderViT
+
+    B, DIM = 32, 768
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 512, 512, 3)), jnp.float32)
+
+    enc = ImageEncoderViT(img_size=512, embed_dim=DIM, depth=12, num_heads=12,
+                          window_size=14, global_attn_indexes=(2, 5, 8, 11),
+                          dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(1).normal(
+            size=p.shape).astype(p.dtype),
+        jax.tree.map(np.asarray, params),
+    )
+
+    results = {}
+
+    def timed(fn, label):
+        try:
+            f = jax.jit(fn)
+            out = f(params, x)
+            ref = np.asarray(out, np.float32)
+            ts = []
+            for _ in range(4):
+                t0 = time.time()
+                np.asarray(f(params, x))
+                ts.append(time.time() - t0)
+            results[label + "_ms"] = round(min(ts) * 1e3, 1)
+            return ref
+        except Exception as e:
+            results[label + "_ms"] = f"FAIL: {str(e)[:140]}"
+            return None
+
+    ref = None
+    if only is None or only == "flax":
+        ref = timed(lambda p, x: enc.apply({"params": p}, x), "flax")
+
+    def fused(kernel_version, group=1, ga=4, gm=2):
+        def fn(p, x):
+            return encoder_forward_fused(
+                p, x, sam_version="vit_b", img_size=512, window_size=14,
+                dtype=jnp.bfloat16, group=group, kernel_version=kernel_version,
+                group_attn=ga, group_mlp=gm,
+            )
+        return fn
+
+    for label, fn in [
+        ("v1_g1", fused(1, group=1)),
+        ("v1_g4", fused(1, group=4)),
+        ("v2_ga4_gm2", fused(2, ga=4, gm=2)),
+        ("v2_ga8_gm4", fused(2, ga=8, gm=4)),
+        ("v2_ga16_gm8", fused(2, ga=16, gm=8)),
+    ]:
+        if only is not None and label != only:
+            continue
+        out = timed(fn, label)
+        if out is not None and ref is not None:
+            results[label + "_maxdiff"] = float(np.abs(out - ref).max())
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)
