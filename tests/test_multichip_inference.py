@@ -83,19 +83,23 @@ def test_band_memory_scales_with_mesh():
     mesh = make_mesh(8)
     engine = TiledInferenceEngine(cfg, params, point_bucket=16, mesh=mesh)
 
-    image_size = 4096
     from sam_road_tpu.data.partitions import get_patch_info_one_img
 
-    info = get_patch_info_one_img(0, image_size, cfg.SAMPLE_MARGIN,
-                                  cfg.PATCH_SIZE, cfg.INFER_PATCHES_PER_EDGE)
-    per_dev, offs, band_h = engine._band_assignment(info, image_size)
-    # 16 patch rows over 8 devices = 2 rows each; band = row span + patch
-    assert band_h <= image_size // 8 + cfg.PATCH_SIZE
-    assert band_h < image_size // 4  # nowhere near a full replica
-    assert sum(len(g) for g in per_dev) == len(info)
-    # offsets cover the region in order
-    assert offs == sorted(offs)
+    # band accounting proven at the north-star 8192px scale: per-chip rows
+    # stay O(H/n + P) where a full replica would be 8192
+    for image_size in (4096, 8192):
+        info = get_patch_info_one_img(0, image_size, cfg.SAMPLE_MARGIN,
+                                      cfg.PATCH_SIZE, cfg.INFER_PATCHES_PER_EDGE)
+        per_dev, offs, band_h = engine._band_assignment(info, image_size)
+        # 16 patch rows over 8 devices = 2 rows each; band = row span + patch
+        assert band_h <= image_size // 8 + cfg.PATCH_SIZE
+        assert band_h < image_size // 4  # nowhere near a full replica
+        assert sum(len(g) for g in per_dev) == len(info)
+        # offsets cover the region in order
+        assert offs == sorted(offs)
 
+    # full sharded inference executes at 4096px (CPU-mesh-feasible size)
+    image_size = 4096
     img = np.random.default_rng(1).integers(0, 255, (image_size, image_size, 3),
                                             dtype=np.uint8)
     nodes, edges, kp, road = engine.infer_one_img(img)

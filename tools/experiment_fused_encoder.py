@@ -43,19 +43,25 @@ def main(only=None):
     results = {}
 
     def timed(fn, label):
+        # Time with a SCALAR fetch: the full [32,32,32,256] output is 134 MB
+        # and the tunnel link (~8-100 MB/s) would swamp the device time.
+        # Parity of the full tensors is pinned by CPU tests; here we compare
+        # device wall time + the fp32 sum as a cheap agreement check.
         try:
-            f = jax.jit(fn)
-            out = f(params, x)
-            ref = np.asarray(out, np.float32)
+            f = jax.jit(lambda p, xx: fn(p, xx).astype(jnp.float32).sum())
+            out = float(f(params, x))
             ts = []
-            for _ in range(4):
+            for _ in range(6):
                 t0 = time.time()
-                np.asarray(f(params, x))
+                float(f(params, x))
                 ts.append(time.time() - t0)
             results[label + "_ms"] = round(min(ts) * 1e3, 1)
-            return ref
+            results[label + "_sum"] = out
+            print(f"# {label}: {results[label + '_ms']} ms sum={out:.1f}", flush=True)
+            return out
         except Exception as e:
             results[label + "_ms"] = f"FAIL: {str(e)[:140]}"
+            print(f"# {label}: {results[label + '_ms']}", flush=True)
             return None
 
     ref = None
@@ -82,7 +88,7 @@ def main(only=None):
             continue
         out = timed(fn, label)
         if out is not None and ref is not None:
-            results[label + "_maxdiff"] = float(np.abs(out - ref).max())
+            results[label + "_sumdiff"] = float(abs(out - ref))
 
     print(json.dumps(results, indent=1))
 

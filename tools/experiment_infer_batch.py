@@ -58,7 +58,7 @@ def main(batch_sizes):
                 "timings": details[best],
             }
         except Exception as e:
-            results[f"B{B}"] = f"FAIL: {str(e)[:200]}"
+            results[f"B{B}"] = f"FAIL: {str(e)[:4000]}"
         print(json.dumps(results, indent=1), flush=True)
 
 
