@@ -200,15 +200,28 @@ class BatchLoader:
 
     def __init__(self, dataset: SatMapDataset, batch_size: int, seed: int = 0,
                  point_bucket: int = 128, prefetch: int = 4,
-                 num_batches: int | None = None, num_workers: int = 2):
+                 num_batches: int | None = None, num_workers: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """process_index/process_count shard the input pipeline across hosts
+        (multi-host DCN data loading, SURVEY §5: each host feeds its own
+        chips; no cross-host traffic). Training hosts draw independent
+        random streams (disjoint seeds); evaluation hosts take a strided,
+        disjoint slice of the deterministic patch order."""
         self.dataset = dataset
         self.batch_size = batch_size
-        self.seed = seed
+        self.seed = seed + 7919 * process_index
         self.point_bucket = point_bucket
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers) if dataset.is_train else 1
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
         if num_batches is None:
             num_batches = len(dataset) // batch_size
+            if not dataset.is_train:
+                # eval work is a fixed set: split batches across hosts
+                num_batches = (
+                    num_batches + self.process_count - 1
+                ) // self.process_count
         self.num_batches = num_batches
 
     def __len__(self):
@@ -222,7 +235,11 @@ class BatchLoader:
 
         order = None
         if not self.dataset.is_train:
-            order = np.arange(len(self.dataset))
+            # strided host shard of the deterministic eval order: host p
+            # evaluates patches p, p+P, p+2P, ... (disjoint, union-complete)
+            order = np.arange(len(self.dataset))[
+                self.process_index :: self.process_count
+            ]
 
         def worker(wid: int):
             rng = np.random.default_rng(self.seed + 1000003 * wid)

@@ -131,3 +131,30 @@ def test_eval_patches_cover_image(spacenet_root):
     assert len(ds.eval_patches) == len(ds.rgbs) * 4  # ceil(160/80)^2
     s = ds.sample(0)
     assert s["rgb"].shape == (80, 80, 3)
+
+
+def test_multihost_input_sharding(spacenet_root):
+    """process_index/process_count shard the pipeline across hosts: eval
+    hosts take disjoint, union-complete strided slices of the deterministic
+    order; train hosts draw from disjoint random streams."""
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=False, data_root=spacenet_root)
+    n = len(ds)
+    for p in range(2):
+        loader = BatchLoader(ds, batch_size=1, point_bucket=32,
+                             process_index=p, process_count=2)
+        # each host evaluates ~half the batches...
+        assert len(loader) == (n // 1 + 1) // 2
+        # ...and host p's first patch is global patch index p (stride 2)
+        first = next(iter(loader))
+        np.testing.assert_array_equal(first["rgb"][0], ds.sample(p)["rgb"])
+
+    ds_tr = SatMapDataset(cfg, is_train=True, data_root=spacenet_root)
+    b0 = next(iter(BatchLoader(ds_tr, batch_size=2, num_batches=1,
+                               point_bucket=32, process_index=0,
+                               process_count=2)))
+    b1 = next(iter(BatchLoader(ds_tr, batch_size=2, num_batches=1,
+                               point_bucket=32, process_index=1,
+                               process_count=2)))
+    # disjoint random streams -> different patches (overwhelmingly likely)
+    assert not np.array_equal(b0["rgb"], b1["rgb"])
