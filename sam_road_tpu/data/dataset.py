@@ -243,21 +243,24 @@ class BatchLoader:
 
         def worker(wid: int):
             rng = np.random.default_rng(self.seed + 1000003 * wid)
-            while not stop.is_set():
-                with counter_lock:
-                    bi = next(batch_counter, None)
-                if bi is None:
-                    q.put(None)
-                    return
-                samples = []
-                for i in range(self.batch_size):
-                    idx = (
-                        int(order[(bi * self.batch_size + i) % len(order)])
-                        if order is not None
-                        else 0
-                    )
-                    samples.append(self.dataset.sample(idx, rng))
-                q.put(collate_batch(samples, self.point_bucket))
+            try:
+                while not stop.is_set():
+                    with counter_lock:
+                        bi = next(batch_counter, None)
+                    if bi is None:
+                        q.put(None)
+                        return
+                    samples = []
+                    for i in range(self.batch_size):
+                        idx = (
+                            int(order[(bi * self.batch_size + i) % len(order)])
+                            if order is not None
+                            else 0
+                        )
+                        samples.append(self.dataset.sample(idx, rng))
+                    q.put(collate_batch(samples, self.point_bucket))
+            except BaseException as e:  # propagate instead of hanging the consumer
+                q.put(e)
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -273,6 +276,9 @@ class BatchLoader:
                 if batch is None:
                     finished += 1
                     continue
+                if isinstance(batch, BaseException):
+                    # a producer died — fail loudly, don't block forever
+                    raise batch
                 produced += 1
                 yield batch
         finally:

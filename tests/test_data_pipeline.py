@@ -158,3 +158,15 @@ def test_multihost_input_sharding(spacenet_root):
                                process_count=2)))
     # disjoint random streams -> different patches (overwhelmingly likely)
     assert not np.array_equal(b0["rgb"], b1["rgb"])
+
+
+def test_batch_loader_propagates_worker_errors(spacenet_root):
+    """A producer-thread exception must surface in the consumer, not hang
+    the iterator (observed: a bad crop range crashed the worker and the
+    main thread blocked on q.get forever)."""
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=True, data_root=spacenet_root)
+    broken = BatchLoader(ds, batch_size=2, num_batches=2, point_bucket=32)
+    ds.sample_max = ds.sample_min - 1  # forces rng.integers(high<=0)
+    with pytest.raises(ValueError):
+        list(broken)

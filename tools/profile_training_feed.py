@@ -38,6 +38,7 @@ def main():
     B = 16
     cfg = load_config(overrides=dict(
         SAM_VERSION="vit_b", DATASET="spacenet", PATCH_SIZE=512,
+        IMAGE_SIZE=1024,  # match the synthetic fixture's tile size
         COMPUTE_DTYPE="bfloat16", BATCH_SIZE=B, BASE_LR=1e-3,
         TOPO_SAMPLE_NUM=128, MAX_NEIGHBOR_QUERIES=16,
     ))
