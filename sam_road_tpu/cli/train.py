@@ -76,11 +76,18 @@ def main(argv=None):
     if args.fast_dev_run:
         steps_per_epoch = 2
     workers = max(1, int(config.DATA_WORKER_NUM or 1))
+    # multi-host meshes: each host produces only its own chips' batches
+    # (disjoint random streams for train, strided eval slices)
+    import jax
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
     train_loader = BatchLoader(train_ds, batch_size, seed=args.seed,
                                num_batches=steps_per_epoch,
-                               num_workers=workers)
+                               num_workers=workers,
+                               process_index=pidx, process_count=pcnt)
     val_loader = BatchLoader(val_ds, batch_size, seed=args.seed,
-                             num_batches=max(1, len(val_ds) // batch_size))
+                             num_batches=max(1, len(val_ds) // batch_size),
+                             process_index=pidx, process_count=pcnt)
 
     from sam_road_tpu.utils.logging import MetricsLogger
     from sam_road_tpu.utils.profiling import maybe_trace
