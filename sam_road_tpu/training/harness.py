@@ -96,6 +96,21 @@ def _label_tree(params):
     return jax.tree_util.tree_unflatten(treedef, labels_flat)
 
 
+
+def _materialize_batch(batch):
+    """Device-side decode of the loader's compact batch encoding: rgb uint8
+    -> f32 0-255, masks uint8 -> f32 0-1 (collate_batch ships uint8 to cut
+    host-link bytes 4x; float batches pass through unchanged so synthetic
+    callers keep working)."""
+    b = dict(batch)
+    if batch["rgb"].dtype == jnp.uint8:
+        b["rgb"] = batch["rgb"].astype(jnp.float32)
+    for k in ("keypoint_mask", "road_mask"):
+        if batch[k].dtype == jnp.uint8:
+            b[k] = batch[k].astype(jnp.float32) / 255.0
+    return b
+
+
 def make_train_step(config) -> Callable:
     """One jitted optimization step: forward, losses, grads, Adam update.
 
@@ -110,6 +125,7 @@ def make_train_step(config) -> Callable:
     clip_norm = float(config.GRAD_CLIP_NORM or 0.0)
 
     def loss_fn(params, batch, dropout_rng):
+        batch = _materialize_batch(batch)
         mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
             {"params": params},
             batch["rgb"],
@@ -164,6 +180,7 @@ def make_eval_step(config) -> Callable:
 
     @jax.jit
     def eval_step(params, batch):
+        batch = _materialize_batch(batch)
         mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
             {"params": params},
             batch["rgb"],
@@ -309,7 +326,9 @@ class Trainer:
                     {"params": p}, rgb, method=SAMRoad.infer_masks_and_features
                 )[0]
             )
-        scores = self._mask_scores_fn(self.state.params, batch["rgb"])
+        scores = self._mask_scores_fn(
+            self.state.params, jnp.asarray(batch["rgb"], jnp.float32)
+        )
         paths = save_val_visualizations(
             os.path.join(self.output_dir, "val_viz"), epoch, batch, scores,
             count=count,

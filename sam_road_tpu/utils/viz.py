@@ -97,10 +97,15 @@ def save_val_visualizations(out_dir, epoch, batch, mask_scores, count=4):
     n = min(int(count), scores.shape[0])
     paths = []
     for i in range(n):
+        def _mask01(x):
+            if np.asarray(x).dtype == np.uint8:  # collate's compact encoding
+                return np.asarray(x, np.float32) / 255.0
+            return np.asarray(x, np.float32)
+
         panel = render_val_mask_panel(
-            np.asarray(batch["rgb"][i]),
-            np.asarray(batch["keypoint_mask"][i]),
-            np.asarray(batch["road_mask"][i]),
+            np.asarray(batch["rgb"][i], np.float32),
+            _mask01(batch["keypoint_mask"][i]),
+            _mask01(batch["road_mask"][i]),
             scores[i, ..., 0],
             scores[i, ..., 1],
         )
