@@ -71,7 +71,26 @@ def main(argv=None):
     for sub in ("mask", "viz", "graph"):
         os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
 
-    engine = TiledInferenceEngine(config, params)
+    # Multi-chip region inference: DP_SHARDS > 1 spreads each tile's patch
+    # grid over a 'dp' mesh (spatial row bands, bit-identical masks — see
+    # inference/engine.py). Same config key the Trainer uses.
+    mesh = None
+    n_shards = int(config.DP_SHARDS or 0)
+    if n_shards > 1:
+        import jax
+
+        from sam_road_tpu.parallel.mesh import make_mesh
+
+        avail = len(jax.devices())
+        if avail >= n_shards:
+            mesh = make_mesh(n_shards)
+            print(f"sharding the patch grid over {n_shards} devices")
+        else:
+            print(
+                f"DP_SHARDS={n_shards} requested but only {avail} device(s) "
+                "visible; running single-device"
+            )
+    engine = TiledInferenceEngine(config, params, mesh=mesh)
     import cv2
 
     # Preload tiles (the reference reads lazily, inferencer.py:276, but

@@ -106,3 +106,53 @@ def test_sparse_patch_grid_inference():
     # uncovered center must be exactly 0
     assert road[128, 128] == 0
     assert np.isfinite(road.astype(np.float64)).all()
+
+
+def test_infer_cli_multichip(tmp_path):
+    """samroad-infer with DP_SHARDS > 1 shards each tile's patch grid over
+    the mesh (same config key as the Trainer); graphs/masks land on disk."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic_data import make_spacenet_fixture
+
+    from sam_road_tpu.cli.infer import main as infer_main
+    from sam_road_tpu.config import load_config
+    from sam_road_tpu.models.sam_road import init_params
+    from sam_road_tpu.training.harness import Trainer
+
+    root = str(tmp_path)
+    make_spacenet_fixture(root, image_size=160, spacing=40)
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "DATASET: 'spacenet'\nIMAGE_SIZE: 160\nSAM_VERSION: 'vit_t'\n"
+            "PATCH_SIZE: 80\nINFER_BATCH_SIZE: 4\nINFER_PATCHES_PER_EDGE: 4\n"
+            "SAMPLE_MARGIN: 0\nCOMPUTE_DTYPE: 'float32'\n"
+            "TOPO_SAMPLE_NUM: 16\nMAX_NEIGHBOR_QUERIES: 4\n"
+            "ITSC_THRESHOLD: 0.9\nROAD_THRESHOLD: 0.6\nTOPO_THRESHOLD: 0.4\n"
+            "ITSC_NMS_RADIUS: 4\nROAD_NMS_RADIUS: 8\nNEIGHBOR_RADIUS: 24\n"
+            "DP_SHARDS: 2\n"
+        )
+    cfg = load_config(cfg_path)
+    params = init_params(cfg)
+    run_dir = os.path.join(root, "run")
+    trainer = Trainer(config=cfg, params=params, output_dir=run_dir,
+                      steps_per_epoch=1)
+    trainer.save_checkpoint(0)
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(root)
+        infer_main(["--config", cfg_path,
+                    "--checkpoint", os.path.join(run_dir, "ckpt_epoch_0"),
+                    "--data_root", root, "--output_dir", "mc",
+                    "--max_tiles", "1"])
+    finally:
+        os.chdir(cwd)
+    out = os.path.join(root, "save", "mc")
+    graphs = os.listdir(os.path.join(out, "graph"))
+    assert len(graphs) == 1 and graphs[0].endswith(".p")
+    assert os.path.exists(os.path.join(out, "inference_time.txt"))
