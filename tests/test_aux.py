@@ -96,3 +96,32 @@ def test_extract_graph_astar_smoke():
     assert len(adj) >= 2  # endpoints connected through the road corridor
     total_edges = sum(len(v) for v in adj.values())
     assert total_edges >= 2
+
+
+def test_prepare_cli(tmp_path):
+    """samroad-prepare rasterizes GT graphs into the processed/ mask tree
+    that SatMapDataset expects (reference: the generate_labels.py scripts)."""
+    import pickle
+
+    import cv2
+    import numpy as np
+
+    from sam_road_tpu.cli.prepare import main as prepare_main
+
+    root = tmp_path / "spacenet"
+    (root / "RGB_1.0_meter").mkdir(parents=True)
+    adj = {(100, 100): [(100, 300)], (100, 300): [(100, 100)]}
+    with open(root / "RGB_1.0_meter" / "T1__gt_graph.p", "wb") as f:
+        pickle.dump(adj, f)
+    import json
+    with open(root / "data_split.json", "w") as f:
+        json.dump({"train": ["T1"], "validation": [], "test": []}, f)
+
+    prepare_main(["--dataset", "spacenet", "--data_root", str(tmp_path)])
+    road = cv2.imread(str(root / "processed" / "road_mask_T1.png"),
+                      cv2.IMREAD_GRAYSCALE)
+    kp = cv2.imread(str(root / "processed" / "keypoint_mask_T1.png"),
+                    cv2.IMREAD_GRAYSCALE)
+    assert road is not None and road.shape == (400, 400) and road.max() == 255
+    # two endpoints (degree 1) -> keypoint discs present
+    assert kp.max() == 255 and 0 < (kp > 0).sum() < (road > 0).sum() * 5
