@@ -76,17 +76,24 @@ def main(argv=None):
     if args.fast_dev_run:
         steps_per_epoch = 2
     workers = max(1, int(config.DATA_WORKER_NUM or 1))
-    # multi-host meshes: each host produces only its own chips' batches
-    # (disjoint random streams for train, strided eval slices)
+    # multi-host meshes: each host produces only its own chips' share of the
+    # global batch (disjoint random streams for train, strided eval slices;
+    # assembling host-local arrays into global ones is the runtime's job —
+    # on a single-controller host pcnt == 1 and this is a no-op)
     import jax
 
     pidx, pcnt = jax.process_index(), jax.process_count()
-    train_loader = BatchLoader(train_ds, batch_size, seed=args.seed,
+    assert batch_size % pcnt == 0, (
+        f"BATCH_SIZE {batch_size} must divide across {pcnt} hosts"
+    )
+    local_bs = batch_size // pcnt
+    train_loader = BatchLoader(train_ds, local_bs, seed=args.seed,
                                num_batches=steps_per_epoch,
                                num_workers=workers,
                                process_index=pidx, process_count=pcnt)
-    val_loader = BatchLoader(val_ds, batch_size, seed=args.seed,
-                             num_batches=max(1, len(val_ds) // batch_size),
+    # no explicit num_batches: the loader covers exactly this host's strided
+    # eval slice (a global count here would defeat the per-host split)
+    val_loader = BatchLoader(val_ds, local_bs, seed=args.seed,
                              process_index=pidx, process_count=pcnt)
 
     from sam_road_tpu.utils.logging import MetricsLogger

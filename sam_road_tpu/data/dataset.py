@@ -227,13 +227,21 @@ class BatchLoader:
         self.num_workers = max(1, num_workers) if dataset.is_train else 1
         self.process_index = int(process_index)
         self.process_count = max(1, int(process_count))
+        # this host's share of the deterministic eval order (train sampling
+        # is random, so the slice concept applies to eval only)
+        self._eval_slice_len = len(
+            range(self.process_index, len(dataset), self.process_count)
+        )
         if num_batches is None:
-            num_batches = len(dataset) // batch_size
-            if not dataset.is_train:
-                # eval work is a fixed set: split batches across hosts
-                num_batches = (
-                    num_batches + self.process_count - 1
-                ) // self.process_count
+            if dataset.is_train:
+                num_batches = len(dataset) // batch_size
+            else:
+                # cover exactly this host's slice (ceil), so hosts stay
+                # disjoint — a global count ceil-divided by hosts would wrap
+                # short slices back to their first patches
+                num_batches = max(
+                    1, (self._eval_slice_len + batch_size - 1) // batch_size
+                )
         self.num_batches = num_batches
 
     def __len__(self):

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table
+from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table, fold_rel_pos_qk
 from sam_road_tpu.ops.attention import fused_attention
 from sam_road_tpu.ops.fused_block import (
     _round_up8,
@@ -56,18 +56,7 @@ def _global_block(x, bp, num_heads, dtype, on_tpu):
 
     Rh = _get_rel_pos_table(H, bp["attn"]["rel_pos_h"]).astype(dtype)
     Rw = _get_rel_pos_table(W, bp["attn"]["rel_pos_w"]).astype(dtype)
-    r_q = q.reshape(B, num_heads, H, W, head_dim)
-    qh_aug = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh)
-    qw_aug = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)
-    q_aug = jnp.concatenate(
-        [q * scale, qh_aug.reshape(B, num_heads, H * W, H),
-         qw_aug.reshape(B, num_heads, H * W, W)], axis=-1)
-    eye_h = np.repeat(np.eye(H, dtype=np.float32), W, axis=0)
-    eye_w = np.tile(np.eye(W, dtype=np.float32), (H, 1))
-    pos_code = jnp.asarray(np.concatenate([eye_h, eye_w], axis=1), dtype)
-    k_aug = jnp.concatenate(
-        [k, jnp.broadcast_to(pos_code[None, None],
-                             (B, num_heads) + pos_code.shape)], axis=-1)
+    q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
     out = fused_attention(q_aug, k_aug, v, not on_tpu)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
     out = out @ bp["attn"]["proj"]["kernel"].astype(dtype)

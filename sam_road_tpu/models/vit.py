@@ -65,6 +65,52 @@ def _get_rel_pos_table(size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     return rel_pos[coords]
 
 
+def fold_rel_pos_qk(q, k, Rh, Rw, hw, scale, row0=0):
+    """Fold decomposed rel-pos bias into ONE score matmul.
+
+    The naive formulation (scores.reshape(..., H, W, H, W) + rel_h[..., None]
+    + rel_w[..., None, :]) materializes multiple N^2 fp32 tensors in HBM and
+    measured 3.2x slower on v5e. Instead augment
+      q~ = [q*scale, q.Rh(row qh), q.Rw(row qw)]   (contraction +H +W dims)
+      k~ = [k,       onehot(kh),   onehot(kw)]
+    so q~.k~ == q.k*scale + rel_h[qh, kh] + rel_w[qw, kw] exactly.
+
+    q: [G, nH, Nq, hd] — a ROW-ALIGNED query subset of the (H, W) token grid
+    starting at grid row `row0` (0 and Nq == H*W for full-grid attention;
+    sequence-parallel shards pass their absolute row offset, which may be a
+    traced scalar). k: [G, nH, N, hd] over the full grid.
+    Returns (q_aug, k_aug); the single matmul q_aug @ k_aug^T yields the
+    biased scores. Shared by Attention (models/vit.py), the fused-kernel
+    encoder, and the sequence-parallel encoder so the numerically delicate
+    construction exists once.
+    """
+    H, W = hw
+    G, nH, Nq, hd = q.shape
+    nq_rows = Nq // W
+    dtype = q.dtype
+    r_q = q.reshape(G, nH, nq_rows, W, hd)
+    Rh_shard = jax.lax.dynamic_slice_in_dim(Rh, row0, nq_rows, axis=0)
+    qh_aug = jnp.einsum("gnhwc,hkc->gnhwk", r_q, Rh_shard)  # [G,nH,rows,W,H]
+    qw_aug = jnp.einsum("gnhwc,wkc->gnhwk", r_q, Rw)  # [G,nH,rows,W,W]
+    q_aug = jnp.concatenate(
+        [
+            q * scale,
+            qh_aug.reshape(G, nH, Nq, H),
+            qw_aug.reshape(G, nH, Nq, W),
+        ],
+        axis=-1,
+    )
+    # static one-hot position codes for keys
+    eye_h = np.repeat(np.eye(H, dtype=np.float32), W, axis=0)  # (N, H)
+    eye_w = np.tile(np.eye(W, dtype=np.float32), (H, 1))  # (N, W)
+    pos_code = jnp.asarray(np.concatenate([eye_h, eye_w], axis=1), dtype)
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(pos_code[None, None], (G, nH) + pos_code.shape)],
+        axis=-1,
+    )
+    return q_aug, k_aug
+
+
 class Attention(nn.Module):
     """Multi-head attention with decomposed relative position bias.
 
@@ -114,13 +160,8 @@ class Attention(nn.Module):
         q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
 
         if self.use_rel_pos:
-            # Decomposed rel-pos folded into ONE score matmul. The naive
-            # formulation (scores.reshape(B,nH,H,W,H,W) + rel_h[...,None]
-            # + rel_w[...,None,:]) materializes multiple N^2 fp32 tensors in
-            # HBM and measured 3.2x slower on v5e. Instead augment
-            #   q~ = [q*scale, q.Rh(row qh), q.Rw(row qw)]   (contraction +H+W)
-            #   k~ = [k,      onehot(kh),   onehot(kw)]
-            # so q~.k~ = q.k*scale + rel_h[qh,kh] + rel_w[qw,kw] exactly.
+            # Decomposed rel-pos folded into ONE score matmul (3.2x vs the
+            # naive broadcast-add on v5e) — see fold_rel_pos_qk.
             rel_pos_h = self.param(
                 "rel_pos_h",
                 nn.initializers.zeros,
@@ -133,34 +174,7 @@ class Attention(nn.Module):
             )
             Rh = _get_rel_pos_table(H, rel_pos_h).astype(self.dtype)
             Rw = _get_rel_pos_table(W, rel_pos_w).astype(self.dtype)
-            r_q = q.reshape(B, self.num_heads, H, W, head_dim)
-            # [B, nH, H, W, H] / [B, nH, H, W, W] — small (no KH*KW product)
-            qh_aug = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh)
-            qw_aug = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)
-            q_aug = jnp.concatenate(
-                [
-                    q * scale,
-                    qh_aug.reshape(B, self.num_heads, H * W, H),
-                    qw_aug.reshape(B, self.num_heads, H * W, W),
-                ],
-                axis=-1,
-            )
-            # static one-hot position codes for keys
-            eye_h = np.repeat(np.eye(H, dtype=np.float32), W, axis=0)  # (N, H)
-            eye_w = np.tile(np.eye(W, dtype=np.float32), (H, 1))  # (N, W)
-            pos_code = jnp.asarray(
-                np.concatenate([eye_h, eye_w], axis=1), self.dtype
-            )  # (N, H+W)
-            k_aug = jnp.concatenate(
-                [
-                    k,
-                    jnp.broadcast_to(
-                        pos_code[None, None], (B, self.num_heads) + pos_code.shape
-                    ),
-                ],
-                axis=-1,
-            )
-            q_eff, k_eff = q_aug, k_aug
+            q_eff, k_eff = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
         else:
             q_eff, k_eff = q * scale, k
 

@@ -41,7 +41,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table
+from sam_road_tpu.models.vit import (
+    ENCODER_SPECS,
+    _get_rel_pos_table,
+    fold_rel_pos_qk,
+)
+
+
+_SP_PROGRAM_CACHE: dict = {}
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -77,26 +84,8 @@ def _attn_grid(q, k, v, bp_attn, hw, num_heads, dtype, row0=0):
 
     Rh = _get_rel_pos_table(H, bp_attn["rel_pos_h"]).astype(dtype)
     Rw = _get_rel_pos_table(W, bp_attn["rel_pos_w"]).astype(dtype)
-    r_q = qh.reshape(G, num_heads, nq_rows, W, hd)
-    # absolute query rows: slice the per-row bias table at row0
-    Rh_shard = jax.lax.dynamic_slice_in_dim(Rh, row0, nq_rows, axis=0)
-    qh_aug = jnp.einsum("gnhwc,hkc->gnhwk", r_q, Rh_shard)  # [G,nH,rows,W,H]
-    qw_aug = jnp.einsum("gnhwc,wkc->gnhwk", r_q, Rw)  # [G,nH,rows,W,W]
-    q_aug = jnp.concatenate(
-        [
-            qh * scale,
-            qh_aug.reshape(G, num_heads, Nq, H),
-            qw_aug.reshape(G, num_heads, Nq, W),
-        ],
-        axis=-1,
-    )
-    eye_h = np.repeat(np.eye(H, dtype=np.float32), W, axis=0)  # (N, H)
-    eye_w = np.tile(np.eye(W, dtype=np.float32), (H, 1))  # (N, W)
-    pos_code = jnp.asarray(np.concatenate([eye_h, eye_w], axis=1), dtype)
-    k_aug = jnp.concatenate(
-        [kh, jnp.broadcast_to(pos_code[None, None], (G, num_heads) + pos_code.shape)],
-        axis=-1,
-    )
+    # shared fold with vit.py/fast_encoder: absolute query rows via row0
+    q_aug, k_aug = fold_rel_pos_qk(qh, kh, Rh, Rw, (H, W), scale, row0=row0)
     scores = jnp.einsum(
         "gnqd,gnkd->gnqk", q_aug, k_aug, preferred_element_type=jnp.float32
     )
@@ -242,11 +231,19 @@ def encoder_forward_sp(
         ).astype(dtype)
         return out
 
-    shard_fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(None, axis)),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return jax.jit(shard_fn)(params, x)
+    # jit caches by callable identity, so memoize the wrapped program per
+    # (mesh, geometry) — otherwise every call would re-trace and re-compile
+    # the full encoder
+    key = (mesh, axis, sam_version, img_size, window_size, jnp.dtype(dtype).name)
+    fn = _SP_PROGRAM_CACHE.get(key)
+    if fn is None:
+        shard_fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        fn = jax.jit(shard_fn)
+        _SP_PROGRAM_CACHE[key] = fn
+    return fn(params, x)

@@ -140,14 +140,17 @@ def test_multihost_input_sharding(spacenet_root):
     cfg = _cfg()
     ds = SatMapDataset(cfg, is_train=False, data_root=spacenet_root)
     n = len(ds)
+    counts = []
     for p in range(2):
         loader = BatchLoader(ds, batch_size=1, point_bucket=32,
                              process_index=p, process_count=2)
-        # each host evaluates ~half the batches...
-        assert len(loader) == (n // 1 + 1) // 2
-        # ...and host p's first patch is global patch index p (stride 2)
+        # each host covers exactly its own slice (no wrap, no double-count)
+        assert len(loader) == len(range(p, n, 2))
+        counts.append(len(loader))
+        # host p's first patch is global patch index p (stride 2)
         first = next(iter(loader))
         np.testing.assert_array_equal(first["rgb"][0], ds.sample(p)["rgb"])
+    assert sum(counts) == n  # disjoint, union-complete at batch_size=1
 
     ds_tr = SatMapDataset(cfg, is_train=True, data_root=spacenet_root)
     b0 = next(iter(BatchLoader(ds_tr, batch_size=2, num_batches=1,

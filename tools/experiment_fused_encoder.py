@@ -80,6 +80,7 @@ def main(only=None):
     for label, fn in [
         ("v1_g1", fused(1, group=1)),
         ("v1_g4", fused(1, group=4)),
+        ("v2_ga1_gm1", fused(2, ga=1, gm=1)),
         ("v2_ga4_gm2", fused(2, ga=4, gm=2)),
         ("v2_ga8_gm4", fused(2, ga=8, gm=4)),
         ("v2_ga16_gm8", fused(2, ga=16, gm=8)),

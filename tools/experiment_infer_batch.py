@@ -58,7 +58,9 @@ def main(batch_sizes):
                 "timings": details[best],
             }
         except Exception as e:
-            results[f"B{B}"] = f"FAIL: {str(e)[:4000]}"
+            results[f"B{B}" + ("_fused" if fused else "")] = (
+                f"FAIL: {str(e)[:4000]}"
+            )
         print(json.dumps(results, indent=1), flush=True)
 
 
