@@ -97,6 +97,7 @@ DEFAULTS: dict = {
     "GRAD_CLIP_NORM": 0,  # 0 = off (reference has no clipping)
     # Inference fast path: fused Pallas encoder blocks (naive decoder,
     # no LoRA); kernel version 2 = split attention/MLP grouped-window kernels
+    "FLASH_ATTENTION": True,  # False: plain XLA attention everywhere
     "FUSED_ENCODER": False,
     "FUSED_KERNEL_VERSION": 2,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M

@@ -44,6 +44,7 @@ class ModelSpec:
     lora_rank: int = 0  # 0 = no LoRA
     remat: bool = False
     compute_dtype: str = "bfloat16"
+    flash_attention: bool = True  # False routes attention through plain XLA
 
     @classmethod
     def from_config(cls, cfg) -> "ModelSpec":
@@ -55,6 +56,7 @@ class ModelSpec:
             lora_rank=int(cfg.LORA_RANK) if cfg.ENCODER_LORA else 0,
             remat=bool(cfg.REMAT_ENCODER),
             compute_dtype=str(cfg.COMPUTE_DTYPE or "float32"),
+            flash_attention=bool(cfg.FLASH_ATTENTION),
         )
 
     @property
@@ -87,6 +89,7 @@ class SAMRoad(nn.Module):
             global_attn_indexes=enc["global_attn_indexes"],
             lora_rank=spec.lora_rank,
             remat=spec.remat,
+            use_flash=spec.flash_attention,
             dtype=dtype,
             name="image_encoder",
         )
