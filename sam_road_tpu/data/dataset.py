@@ -271,14 +271,27 @@ class BatchLoader:
                         q.put(None)
                         return
                     samples = []
+                    weights = np.ones((self.batch_size,), np.float32)
                     for i in range(self.batch_size):
-                        idx = (
-                            int(order[(bi * self.batch_size + i) % len(order)])
-                            if order is not None
-                            else 0
-                        )
+                        if order is None:
+                            idx = 0
+                        else:
+                            g = bi * self.batch_size + i
+                            if g < len(order):
+                                idx = int(order[g])
+                            else:
+                                # ragged final batch: pad by REPEATING the
+                                # last patch at weight 0 so the jitted eval
+                                # step keeps its shape but each patch is
+                                # counted exactly once (the reference's grid
+                                # is exact, reference: dataset.py:384-390)
+                                idx = int(order[-1])
+                                weights[i] = 0.0
                         samples.append(self.dataset.sample(idx, rng))
-                    q.put(collate_batch(samples, self.point_bucket))
+                    batch = collate_batch(samples, self.point_bucket)
+                    if order is not None:
+                        batch["sample_weight"] = weights
+                    q.put(batch)
             except BaseException as e:  # propagate instead of hanging the consumer
                 q.put(e)
 

@@ -25,7 +25,9 @@ from sam_road_tpu.ops.fused_block import (
     _round_up8,
     fused_window_block,
     fused_window_block_v2,
+    window_attention_relpos,
 )
+from sam_road_tpu.ops.fused_ln import ln_dense, ln_mlp_residual
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -68,6 +70,85 @@ def _global_block(x, bp, num_heads, dtype, on_tpu):
     mid = jax.nn.gelu(mid, approximate=False)
     mlp = mid @ bp["mlp_lin2"]["kernel"].astype(dtype) + bp["mlp_lin2"]["bias"].astype(dtype)
     return x + mlp
+
+
+def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
+    """Windowed block, token-tiled fusion (kernel_version=3).
+
+    The per-token chains run in token-tiled Pallas kernels at MXU-grade
+    matmul shapes (ops/fused_ln.py); ONLY the attention itself runs in
+    window layout (ops/fused_block.py window_attention_relpos, rel-pos bias
+    built in-kernel — the folded-q~k~ formulation used by the flax path
+    costs ~5 ms/block in aug-tensor HBM traffic at flagship geometry).
+
+    Exact reference semantics: SAM zero-pads the NORM1 OUTPUT into windows
+    (keys of pad slots = qkv bias). Here qkv is computed bias-FREE on real
+    tokens only (no pad-token FLOPs), zero-padded to the window grid, and
+    the bias is added across the padded grid — pad tokens become exactly
+    `bias` = qkv(0). Pad-row attention outputs are cropped before proj, so
+    proj/MLP also never compute on pad tokens (the reference spends 1.7x
+    qkv/proj FLOPs on them at 512px: grid 32 pads to 42).
+    """
+    B, H, W, C = x.shape
+    interp = not on_tpu
+    attn = bp["attn"]
+
+    qkv_nb = ln_dense(
+        x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
+        attn["qkv"]["kernel"], None, interpret=interp,
+    ).reshape(B, H, W, 3 * C)
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    qkv_p = qkv_p + attn["qkv"]["bias"].astype(dtype)
+    Hp, Wp = H + pad_h, W + pad_w
+    qkv_w = qkv_p.reshape(B, Hp // ws, ws, Wp // ws, ws, 3 * C)
+    qkv_w = qkv_w.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
+
+    out_w = window_attention_relpos(
+        qkv_w, attn["rel_pos_h"], attn["rel_pos_w"], ws, num_heads,
+        interpret=interp,
+    )
+    out = _unpartition(out_w, ws, (Hp, Wp), (H, W), B)
+    out = out @ attn["proj"]["kernel"].astype(dtype)
+    x1 = x + (out + attn["proj"]["bias"].astype(dtype))
+
+    return ln_mlp_residual(
+        x1.reshape(B * H * W, C), bp["norm2"]["scale"], bp["norm2"]["bias"],
+        bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
+        bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interpret=interp,
+    ).reshape(B, H, W, C)
+
+
+def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
+    """Global block with token-tiled LN1+qkv and LN2+MLP kernels; attention
+    keeps the folded rel-pos + whole-N Pallas kernel (in-kernel selector
+    bias at N=1024 would need an 8 MB expanded table in VMEM)."""
+    B, H, W, C = x.shape
+    interp = not on_tpu
+    attn = bp["attn"]
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+
+    qkv = ln_dense(
+        x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
+        attn["qkv"]["kernel"], attn["qkv"]["bias"], interpret=interp,
+    )
+    qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
+    q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
+    Rh = _get_rel_pos_table(H, attn["rel_pos_h"]).astype(dtype)
+    Rw = _get_rel_pos_table(W, attn["rel_pos_w"]).astype(dtype)
+    q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
+    out = fused_attention(q_aug, k_aug, v, interp)
+    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    out = out @ attn["proj"]["kernel"].astype(dtype)
+    x1 = x + (out + attn["proj"]["bias"].astype(dtype))
+
+    return ln_mlp_residual(
+        x1.reshape(B * H * W, C), bp["norm2"]["scale"], bp["norm2"]["bias"],
+        bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
+        bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interpret=interp,
+    ).reshape(B, H, W, C)
 
 
 def _partition_raw(x, ws):
@@ -126,6 +207,17 @@ def encoder_forward_fused(params, x, sam_version: str = "vit_b",
     x = x + params["pos_embed"].astype(dtype)
 
     B, H, W, C = x.shape
+    if kernel_version == 3:
+        # token-tiled fusion: LN+qkv / LN+MLP kernels on the compact grid,
+        # window-layout Pallas only for the attention itself
+        for i in range(depth):
+            bp = params[f"blocks_{i}"]
+            if i in global_idx:
+                x = _global_block_v3(x, bp, num_heads, dtype, on_tpu)
+            else:
+                x = _windowed_block_v3(x, bp, num_heads, window_size, dtype,
+                                       on_tpu)
+        return _neck(params, x, dtype)
     i = 0
     while i < depth:
         if i in global_idx:
@@ -158,7 +250,10 @@ def encoder_forward_fused(params, x, sam_version: str = "vit_b",
             x = _unpartition(xw, window_size, pad_hw, (H, W), B)
             i = j
 
-    # neck
+    return _neck(params, x, dtype)
+
+
+def _neck(params, x, dtype):
     x = jax.lax.conv_general_dilated(
         x, params["neck_0"]["kernel"].astype(dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

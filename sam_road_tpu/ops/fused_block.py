@@ -247,6 +247,85 @@ def _round_up8(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
+def _window_attn_kernel(num_heads: int, win: int, qkv_ref, rh_ref, rw_ref,
+                        o_ref):
+    """Pure windowed attention with in-kernel decomposed rel-pos: one window
+    per program, qkv already projected ([1, N, 3C] block). No LN/proj — the
+    v3 path (models/fast_encoder.py) keeps those in token-tiled kernels/XLA
+    where matmul shapes are MXU-grade; this kernel only does what NEEDS the
+    window layout. Scores never touch HBM."""
+    N = win * win
+    C = qkv_ref.shape[-1] // 3
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+
+    qkv = qkv_ref[0]  # (N, 3C)
+    rh_exp = rh_ref[:].astype(jnp.float32)  # (N, win, head_dim)
+    rw_exp = rw_ref[:].astype(jnp.float32)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
+    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
+    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+
+    head_outs = []
+    for head in range(num_heads):
+        q = qkv[:, head * head_dim:(head + 1) * head_dim]
+        k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
+        v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        qf = q.astype(jnp.float32)
+        bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
+        bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)
+        s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
+        s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        head_outs.append(
+            jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        )
+    o_ref[0] = jnp.concatenate(head_outs, axis=-1).astype(o_ref.dtype)
+
+
+def window_attention_relpos(qkv_windows, rel_pos_h, rel_pos_w, win: int,
+                            num_heads: int, interpret: bool = False):
+    """Windowed multi-head attention over pre-projected qkv windows.
+
+    Args:
+      qkv_windows: [nW, win*win, 3C] — fused qkv (bias included), window
+        layout. Pad windows/tokens follow SAM semantics upstream (pad
+        tokens carry the qkv bias, i.e. qkv of a zero input).
+      rel_pos_h / rel_pos_w: (2*win-1, head_dim) decomposed tables.
+    Returns [nW, win*win, C] attention output (pre-proj).
+    """
+    nW, N, C3 = qkv_windows.shape
+    assert N == win * win
+    C = C3 // 3
+    hd = C // num_heads
+    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
+    rh = jnp.asarray(rel_pos_h)[coords]  # (win, win, hd): [i, a, c]
+    rw = jnp.asarray(rel_pos_w)[coords]
+    rh = jnp.repeat(rh, win, axis=0)     # row (i, j) -> Rh[i]
+    rw = jnp.tile(rw, (win, 1, 1))       # row (i, j) -> Rw[j]
+
+    dt = qkv_windows.dtype
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_window_attn_kernel, num_heads, win),
+        out_shape=jax.ShapeDtypeStruct((nW, N, C), dt),
+        grid=(nW,),
+        in_specs=[
+            pl.BlockSpec((1, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((N, win, hd)), full((N, win, hd)),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv_windows, rh.astype(dt), rw.astype(dt))
+
+
 def fused_window_block_v2(x_windows, mask, block_params, win: int,
                           num_heads: int, interpret: bool = False,
                           group_attn: int = 4, group_mlp: int = 2,

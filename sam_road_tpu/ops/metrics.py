@@ -15,33 +15,46 @@ import numpy as np
 PR_BINS = 4096
 
 
-def binary_iou_counts(scores, targets, threshold: float = 0.5):
-    """Returns (intersection, union) for streaming Jaccard at `threshold`."""
+def binary_iou_counts(scores, targets, threshold: float = 0.5, weights=None):
+    """Returns (intersection, union) for streaming Jaccard at `threshold`.
+
+    `weights` (optional, broadcastable to scores) down-weights entries —
+    used by validation to exclude padding samples from ragged final batches
+    so each eval patch is counted exactly once."""
     pred = scores >= threshold
     tgt = targets >= 0.5
-    inter = jnp.sum(jnp.logical_and(pred, tgt))
-    union = jnp.sum(jnp.logical_or(pred, tgt))
-    return inter.astype(jnp.float32), union.astype(jnp.float32)
+    inter = jnp.logical_and(pred, tgt).astype(jnp.float32)
+    union = jnp.logical_or(pred, tgt).astype(jnp.float32)
+    if weights is not None:
+        inter = inter * weights
+        union = union * weights
+    return jnp.sum(inter), jnp.sum(union)
 
 
-def binary_f1_counts(scores, targets, threshold: float = 0.5, ignore_index: int = -1):
+def binary_f1_counts(scores, targets, threshold: float = 0.5, ignore_index: int = -1,
+                     weights=None):
     """Returns (tp, fp, fn) ignoring entries where target == ignore_index."""
     keep = targets != ignore_index
     pred = jnp.logical_and(scores >= threshold, keep)
     tgt = jnp.logical_and(targets == 1, keep)
-    tp = jnp.sum(jnp.logical_and(pred, tgt))
-    fp = jnp.sum(jnp.logical_and(pred, ~tgt))
-    fn = jnp.sum(jnp.logical_and(~pred, tgt))
-    return tp.astype(jnp.float32), fp.astype(jnp.float32), fn.astype(jnp.float32)
+    tp = jnp.logical_and(pred, tgt).astype(jnp.float32)
+    fp = jnp.logical_and(pred, ~tgt).astype(jnp.float32)
+    fn = jnp.logical_and(~pred, tgt).astype(jnp.float32)
+    if weights is not None:
+        tp, fp, fn = tp * weights, fp * weights, fn * weights
+    return jnp.sum(tp), jnp.sum(fp), jnp.sum(fn)
 
 
-def pr_histogram(scores, targets, ignore_index: int = -1):
+def pr_histogram(scores, targets, ignore_index: int = -1, weights=None):
     """Score histograms for positives/negatives -> (pos_hist, neg_hist),
     each [PR_BINS]."""
     keep = targets != ignore_index
     bins = jnp.clip((scores * PR_BINS).astype(jnp.int32), 0, PR_BINS - 1)
     pos = jnp.where(jnp.logical_and(keep, targets == 1), 1.0, 0.0)
     neg = jnp.where(jnp.logical_and(keep, targets != 1), 1.0, 0.0)
+    if weights is not None:
+        pos = pos * weights
+        neg = neg * weights
     pos_hist = jnp.zeros((PR_BINS,), jnp.float32).at[bins.reshape(-1)].add(pos.reshape(-1))
     neg_hist = jnp.zeros((PR_BINS,), jnp.float32).at[bins.reshape(-1)].add(neg.reshape(-1))
     return pos_hist, neg_hist

@@ -33,6 +33,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put every array in the batch with its leading axis sharded."""
+    """Device-put every array in the batch with its leading axis sharded.
+
+    Single-process: a plain device_put against the dp sharding. Multi-host:
+    each host holds only its local batch rows (the loader splits the global
+    batch, cli/train.py), so the host-local arrays are ASSEMBLED into global
+    arrays via make_array_from_process_local_data — device_put of a local
+    array against a global sharding would produce the wrong global shape.
+    SURVEY §2.2/§5 comm-backend row; reference latent gap: train.py:99."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

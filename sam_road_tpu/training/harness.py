@@ -181,6 +181,16 @@ def make_eval_step(config) -> Callable:
     @jax.jit
     def eval_step(params, batch):
         batch = _materialize_batch(batch)
+        # Per-sample validity weights: ragged final eval batches arrive
+        # padded with repeated samples at weight 0 (data/dataset.py), so
+        # every patch contributes to the streaming sums exactly once — the
+        # reference evaluates an exact deterministic grid (reference:
+        # dataset.py:384-390) and never double-counts.
+        w = batch.get("sample_weight")
+        if w is None:
+            w = jnp.ones((batch["rgb"].shape[0],), jnp.float32)
+        w = w.astype(jnp.float32)
+        w_pix = w[:, None, None, None]
         mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
             {"params": params},
             batch["rgb"],
@@ -191,28 +201,40 @@ def make_eval_step(config) -> Callable:
         )
         gt_masks = jnp.stack([batch["keypoint_mask"], batch["road_mask"]], axis=3)
         if use_focal:
-            mask_loss = sigmoid_focal_loss(mask_logits, gt_masks)
+            mask_el = sigmoid_focal_loss(mask_logits, gt_masks, reduction="none")
         else:
-            mask_loss = bce_with_logits(mask_logits, gt_masks)
-        topo_loss = masked_topo_loss(topo_logits, batch["connected"], batch["valid"])
+            mask_el = bce_with_logits(mask_logits, gt_masks, reduction="none")
+        per_sample_el = float(np.prod(mask_el.shape[1:]))
+        mask_loss = (mask_el * w_pix).sum() / jnp.maximum(
+            w.sum() * per_sample_el, 1.0
+        )
+        topo_valid = jnp.logical_and(batch["valid"], (w > 0.0)[:, None, None])
+        topo_loss = masked_topo_loss(topo_logits, batch["connected"], topo_valid)
 
-        kp_i, kp_u = binary_iou_counts(mask_scores[..., 0], batch["keypoint_mask"])
-        rd_i, rd_u = binary_iou_counts(mask_scores[..., 1], batch["road_mask"])
-        valid_i = batch["valid"].astype(jnp.int32)
+        kp_i, kp_u = binary_iou_counts(
+            mask_scores[..., 0], batch["keypoint_mask"], weights=w_pix[..., 0]
+        )
+        rd_i, rd_u = binary_iou_counts(
+            mask_scores[..., 1], batch["road_mask"], weights=w_pix[..., 0]
+        )
+        valid_i = topo_valid.astype(jnp.int32)
         topo_gt = (1 - valid_i) * -1 + valid_i * batch["connected"].astype(jnp.int32)
         tp, fp, fn = binary_f1_counts(topo_scores[..., 0], topo_gt)
         # PR histograms for threshold calibration (reference: model.py:602-617)
         kp_pos, kp_neg = pr_histogram(
-            mask_scores[..., 0], (batch["keypoint_mask"] >= 0.5).astype(jnp.int32)
+            mask_scores[..., 0], (batch["keypoint_mask"] >= 0.5).astype(jnp.int32),
+            weights=w_pix[..., 0],
         )
         rd_pos, rd_neg = pr_histogram(
-            mask_scores[..., 1], (batch["road_mask"] >= 0.5).astype(jnp.int32)
+            mask_scores[..., 1], (batch["road_mask"] >= 0.5).astype(jnp.int32),
+            weights=w_pix[..., 0],
         )
         tp_pos, tp_neg = pr_histogram(topo_scores[..., 0], topo_gt)
         return {
             "mask_loss": mask_loss,
             "topo_loss": topo_loss,
             "loss": mask_loss + topo_loss,
+            "weight": w.sum(),
             "kp_iou": jnp.stack([kp_i, kp_u]),
             "road_iou": jnp.stack([rd_i, rd_u]),
             "topo_f1": jnp.stack([tp, fp, fn]),
@@ -292,28 +314,11 @@ class Trainer:
             out = jax.tree.map(np.asarray, out)
             if n == 0 and viz_count > 0:
                 self._save_val_viz(batch, epoch or 0, viz_count)
-            if total is None:
-                total = out
-            else:
-                total = jax.tree.map(np.add, total, out)
+            total = _accumulate_eval(total, out)
             n += 1
         if total is None:
             return {}
-        metrics = {
-            "val_loss": float(total["loss"]) / n,
-            "val_mask_loss": float(total["mask_loss"]) / n,
-            "val_topo_loss": float(total["topo_loss"]) / n,
-            "keypoint_iou": float(total["kp_iou"][0] / max(total["kp_iou"][1], 1)),
-            "road_iou": float(total["road_iou"][0] / max(total["road_iou"][1], 1)),
-        }
-        tp, fp, fn = total["topo_f1"]
-        metrics["topo_f1"] = float(2 * tp / max(2 * tp + fp + fn, 1))
-        metrics["_pr_histograms"] = {
-            "keypoint": total["kp_pr"],
-            "road": total["road_pr"],
-            "topo": total["topo_pr"],
-        }
-        return metrics
+        return _finish_eval_metrics(total)
 
     def _save_val_viz(self, batch, epoch: int, count: int):
         from sam_road_tpu.models.sam_road import SAMRoad
@@ -380,26 +385,36 @@ class Trainer:
         return int(restored["epoch"]) + 1
 
 
-def run_validation(config, params, loader):
-    """Standalone validation/calibration pass (no optimizer state) — the
-    test CLI path (reference: test.py) only needs the eval step."""
-    eval_step = make_eval_step(config)
-    params = jax.device_put(params)
-    total = None
-    n = 0
-    for batch in loader:
-        out = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
-        out = jax.tree.map(np.asarray, out)
-        total = out if total is None else jax.tree.map(np.add, total, out)
-        n += 1
+def _accumulate_eval(total, out):
+    """Fold one eval_step result into the streaming totals: losses are
+    weighted by the batch's valid-sample count so padded final batches do
+    not bias the averages; count tensors add directly."""
+    w = float(out["weight"])
+    out = dict(out)
+    for key in ("loss", "mask_loss", "topo_loss"):
+        out[key] = np.asarray(float(out[key]) * w)
     if total is None:
-        return {}
+        return out
+    return jax.tree.map(np.add, total, out)
+
+
+def _finish_eval_metrics(total):
+    """Totals -> metric dict, summing across hosts first on multi-process
+    runs (each host evaluates a disjoint slice of the patch grid, so the
+    global metric is the sum of per-host streaming counts)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(total)
+        total = jax.tree.map(lambda x: np.sum(x, axis=0), gathered)
+    w = max(float(total["weight"]), 1.0)
     metrics = {
-        "val_loss": float(total["loss"]) / n,
-        "val_mask_loss": float(total["mask_loss"]) / n,
-        "val_topo_loss": float(total["topo_loss"]) / n,
+        "val_loss": float(total["loss"]) / w,
+        "val_mask_loss": float(total["mask_loss"]) / w,
+        "val_topo_loss": float(total["topo_loss"]) / w,
         "keypoint_iou": float(total["kp_iou"][0] / max(total["kp_iou"][1], 1)),
         "road_iou": float(total["road_iou"][0] / max(total["road_iou"][1], 1)),
+        "val_samples": w,
     }
     tp, fp, fn = total["topo_f1"]
     metrics["topo_f1"] = float(2 * tp / max(2 * tp + fp + fn, 1))
@@ -409,6 +424,21 @@ def run_validation(config, params, loader):
         "topo": total["topo_pr"],
     }
     return metrics
+
+
+def run_validation(config, params, loader):
+    """Standalone validation/calibration pass (no optimizer state) — the
+    test CLI path (reference: test.py) only needs the eval step."""
+    eval_step = make_eval_step(config)
+    params = jax.device_put(params)
+    total = None
+    for batch in loader:
+        out = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        out = jax.tree.map(np.asarray, out)
+        total = _accumulate_eval(total, out)
+    if total is None:
+        return {}
+    return _finish_eval_metrics(total)
 
 
 def load_checkpoint(path: str, init_params=None):

@@ -163,6 +163,83 @@ def test_multihost_input_sharding(spacenet_root):
     assert not np.array_equal(b0["rgb"], b1["rgb"])
 
 
+def test_eval_loader_counts_each_patch_exactly_once(spacenet_root):
+    """A non-batch-divisible eval slice must NOT wrap around: the final
+    ragged batch is padded with repeated samples at sample_weight 0, so
+    every patch is represented exactly once at weight 1 (the reference
+    evaluates an exact grid, reference: dataset.py:384-390)."""
+    cfg = _cfg()
+    ds = SatMapDataset(cfg, is_train=False, data_root=spacenet_root)
+    n = len(ds)  # 4 patches on this fixture
+    batch_size = 3  # deliberately non-divisible: batches of 3 over 4 patches
+    assert n % batch_size != 0
+    loader = BatchLoader(ds, batch_size=batch_size, point_bucket=32)
+    batches = list(loader)
+    assert len(batches) == (n + batch_size - 1) // batch_size
+    total_weight = 0.0
+    seen = []
+    for b in batches:
+        assert b["sample_weight"].shape == (batch_size,)
+        total_weight += float(b["sample_weight"].sum())
+        for i in range(batch_size):
+            if b["sample_weight"][i] > 0:
+                seen.append(b["rgb"][i])
+    # exactly n patches counted, each the right one in order
+    assert total_weight == n
+    for i, rgb in enumerate(seen):
+        np.testing.assert_array_equal(rgb, ds.sample(i)["rgb"].astype(np.uint8))
+    # padding slots repeat a real sample (shape-stable) but weigh 0
+    last = batches[-1]
+    assert float(last["sample_weight"][-1]) == 0.0
+
+
+def test_eval_step_ignores_weightless_padding(spacenet_root):
+    """eval_step metric counts must be invariant to appending weight-0
+    padding samples (the double-count fix's device half)."""
+    import jax
+
+    from sam_road_tpu.config import load_config
+    from sam_road_tpu.models.sam_road import init_params
+    from sam_road_tpu.training.harness import make_eval_step
+
+    cfg = load_config(overrides=dict(
+        SAM_VERSION="vit_t", PATCH_SIZE=32, COMPUTE_DTYPE="float32",
+        TOPO_SAMPLE_NUM=4, MAX_NEIGHBOR_QUERIES=4,
+    ))
+    params = init_params(cfg)
+    eval_step = make_eval_step(cfg)
+    rng = np.random.default_rng(3)
+    s, p = 4, 4
+
+    def mk(batch):
+        return {
+            "rgb": rng.uniform(0, 255, (batch, 32, 32, 3)).astype(np.float32),
+            "keypoint_mask": (rng.random((batch, 32, 32)) > 0.9).astype(np.float32),
+            "road_mask": (rng.random((batch, 32, 32)) > 0.7).astype(np.float32),
+            "graph_points": rng.uniform(0, 32, (batch, 8, 2)).astype(np.float32),
+            "pairs": rng.integers(0, 8, (batch, s, p, 2)).astype(np.int32),
+            "connected": rng.random((batch, s, p)) > 0.5,
+            "valid": rng.random((batch, s, p)) > 0.2,
+        }
+
+    base = mk(3)
+    out_plain = eval_step(params, dict(base))
+
+    padded = {k: np.concatenate([v, v[-1:]], axis=0) for k, v in base.items()}
+    padded["sample_weight"] = np.array([1, 1, 1, 0], np.float32)
+    out_padded = eval_step(params, padded)
+
+    for key in ("kp_iou", "road_iou", "topo_f1", "kp_pr", "road_pr"):
+        np.testing.assert_allclose(
+            np.asarray(out_plain[key]), np.asarray(out_padded[key]),
+            rtol=1e-6, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        float(out_plain["loss"]), float(out_padded["loss"]), rtol=1e-5
+    )
+    assert float(out_padded["weight"]) == 3.0
+
+
 def test_batch_loader_propagates_worker_errors(spacenet_root):
     """A producer-thread exception must surface in the consumer, not hang
     the iterator (observed: a bad crop range crashed the worker and the

@@ -151,6 +151,62 @@ def test_fast_encoder_v2_nonmultiple_pad():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_fast_encoder_v3_kernels_match_flax_vit_t():
+    """Token-tiled fusion (round-3 version): LN+qkv / LN+MLP kernels on the
+    compact grid with the window-layout kernel only for attention."""
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=4, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(10).normal(size=p.shape).astype(p.dtype),
+        jax.tree.map(np.asarray, params),
+    )
+    want = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    got = np.asarray(
+        encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+            window_size=4, dtype=jnp.float32, interpret=True,
+            kernel_version=3,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_encoder_v3_nondivisible_window_pad():
+    """window 5 on a 6x6 grid pads 6->10: pad tokens must act as keys with
+    qkv(0)=bias exactly (the bias-after-pad construction)."""
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=5, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(12).normal(size=p.shape).astype(p.dtype),
+        jax.tree.map(np.asarray, params),
+    )
+    want = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    got = np.asarray(
+        encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+            window_size=5, dtype=jnp.float32, interpret=True,
+            kernel_version=3,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_engine_fused_encoder_path_matches_default():
     """TiledInferenceEngine with config.FUSED_ENCODER must reproduce the
     default path's region outputs (same math through the fused kernels;

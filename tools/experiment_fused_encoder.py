@@ -46,9 +46,10 @@ def main(only=None):
         # Time with a SCALAR fetch: the full [32,32,32,256] output is 134 MB
         # and the tunnel link (~8-100 MB/s) would swamp the device time.
         # Parity of the full tensors is pinned by CPU tests; here we compare
-        # device wall time + the fp32 sum as a cheap agreement check.
+        # device wall time + an L1 norm (sum of |x|) — cancellation-resistant,
+        # unlike a plain sum where sign-symmetric kernel errors cancel.
         try:
-            f = jax.jit(lambda p, xx: fn(p, xx).astype(jnp.float32).sum())
+            f = jax.jit(lambda p, xx: jnp.abs(fn(p, xx).astype(jnp.float32)).sum())
             out = float(f(params, x))
             ts = []
             for _ in range(6):
@@ -56,8 +57,8 @@ def main(only=None):
                 float(f(params, x))
                 ts.append(time.time() - t0)
             results[label + "_ms"] = round(min(ts) * 1e3, 1)
-            results[label + "_sum"] = out
-            print(f"# {label}: {results[label + '_ms']} ms sum={out:.1f}", flush=True)
+            results[label + "_l1"] = out
+            print(f"# {label}: {results[label + '_ms']} ms l1={out:.1f}", flush=True)
             return out
         except Exception as e:
             results[label + "_ms"] = f"FAIL: {str(e)[:140]}"

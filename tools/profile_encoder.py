@@ -18,6 +18,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from sam_road_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sam_road_tpu.models.vit import Block, ImageEncoderViT
 
     B, GRID, DIM, HEADS = 32, 32, 768, 12
