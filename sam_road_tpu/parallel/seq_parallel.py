@@ -19,6 +19,29 @@ ICI):
   tokens — cheap on ICI), each device computes its 1/n slice of the
   windows, and window outputs are all-gathered back. Two all-gathers per
   windowed block.
+
+Memory/comms envelope (what is and is not sharded — N tokens, C channels,
+n devices, h heads):
+
+  persistent activations   O(N/n * C)       sharded (row bands)
+  global-attn scores       O(N^2/n * h)     sharded — the quadratic term,
+                                            and the actual OOM risk at
+                                            large N, lives on n chips
+  windowed-block gather    O(N * C)         TRANSIENT full-grid replica on
+                                            every device, twice per
+                                            windowed block (in + out)
+  comms per windowed block 2 * N * C * 2B   all-gather x2 over ICI
+  comms per global block   2/3 * N * C * 2B gathered-KV (k+v only)
+
+So scale-out in N is real for the quadratic scores and the resident
+activations, while windowed blocks trade a transient O(N*C) buffer + two
+all-gathers for exact SAM window semantics with zero redundant compute —
+at 16k tokens (2048px patch, ViT-B) the transient is ~25 MB bf16 against
+multi-GB sharded scores, i.e. windowed gathers are >100x below the memory
+high-water mark. A halo-exchange window path would shard the transient
+too but computes boundary windows redundantly whenever N/(16n) < 14 rows;
+not worth it below ~100k tokens. tests/test_seq_parallel.py pins a
+16k-token 8-device geometry end to end.
 - Global attention blocks: q stays row-sharded; k (with the folded rel-pos
   position codes) and v are all-gathered, so each device computes the exact
   softmax for its rows against ALL keys — a gathered-KV layout. At SAM

@@ -9,15 +9,14 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
-def _fake_sam_vit_b_state_dict():
-    """Tensor shapes of the official SAM ViT-B checkpoint."""
+def _fake_sam_state_dict(dim, depth, heads, global_idx):
+    """Full-shape state dict laid out like an official 1024px SAM ckpt."""
     sd = {}
-    dim, depth, heads, hd = 768, 12, 12, 64
+    hd = dim // heads
     grid = 64  # 1024 / 16
     sd["image_encoder.pos_embed"] = torch.randn(1, grid, grid, dim)
     sd["image_encoder.patch_embed.proj.weight"] = torch.randn(dim, 3, 16, 16)
     sd["image_encoder.patch_embed.proj.bias"] = torch.randn(dim)
-    global_idx = {2, 5, 8, 11}
     for i in range(depth):
         p = f"image_encoder.blocks.{i}"
         sd[f"{p}.norm1.weight"] = torch.randn(dim)
@@ -41,6 +40,12 @@ def _fake_sam_vit_b_state_dict():
     sd["image_encoder.neck.2.weight"] = torch.randn(256, 256, 3, 3)
     sd["image_encoder.neck.3.weight"] = torch.randn(256)
     sd["image_encoder.neck.3.bias"] = torch.randn(256)
+    return sd
+
+
+def _fake_sam_vit_b_state_dict():
+    """Tensor shapes of the official SAM ViT-B checkpoint."""
+    sd = _fake_sam_state_dict(768, 12, 12, {2, 5, 8, 11})
     # a few prompt-encoder / mask-decoder entries (present in real ckpts)
     sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = torch.randn(2, 128)
     sd["prompt_encoder.no_mask_embed.weight"] = torch.randn(1, 256)
@@ -81,6 +86,137 @@ def test_fake_sam_vit_b_converts_fully(tmp_path):
         sd["image_encoder.blocks.0.attn.qkv.weight"].numpy().T,
         rtol=1e-6,
     )
+
+
+@pytest.mark.parametrize(
+    "version,dim,depth,heads,global_idx,quirk_windowed",
+    [
+        # reference global_attn_indexes: model.py:197-218. The resize's
+        # substring match (reference model.py:406: `str(i) in k`) also
+        # catches WINDOWED blocks whose index contains a global index as a
+        # substring — their (27, hd) tables get interpolated to the global
+        # size and then DROPPED at the name+shape overlay (reference
+        # model.py:379-383 keeps init on shape mismatch). vit_b (depth 12)
+        # is unaffected; vit_l loses block 15 ("5"), vit_h blocks 17/27
+        # ("7").
+        ("vit_l", 1024, 24, 16, (5, 11, 17, 23), (15,)),
+        ("vit_h", 1280, 32, 16, (7, 15, 23, 31), (17, 27)),
+    ],
+)
+def test_fake_sam_vit_lh_convert_with_resize_quirk(
+    tmp_path, version, dim, depth, heads, global_idx, quirk_windowed
+):
+    """vit_l / vit_h layouts through the converter at PATCH_SIZE 256
+    (configs/toponet_vitl_256.yaml, toponet_vith_256.yaml), asserting the
+    1024->256 resize path and the bug-for-bug substring-match quirk."""
+    from sam_road_tpu.config import load_config
+    from sam_road_tpu.models.convert import load_and_convert
+
+    sd = _fake_sam_state_dict(dim, depth, heads, set(global_idx))
+    path = tmp_path / f"sam_{version}_fake.pth"
+    torch.save(sd, str(path))
+
+    cfg = load_config(
+        overrides=dict(SAM_VERSION=version, PATCH_SIZE=256,
+                       COMPUTE_DTYPE="float32")
+    )
+    params, matched, mismatched = load_and_convert(str(path), cfg)
+    hd = dim // heads
+    token = 16  # 256 / 16
+
+    # the ONLY encoder mismatches are the quirk-corrupted windowed rel-pos
+    enc_mismatch = sorted(m for m in mismatched if m.startswith("image_encoder"))
+    want_mismatch = sorted(
+        f"image_encoder.blocks_{i}.attn.rel_pos_{ax}"
+        for i in quirk_windowed for ax in ("h", "w")
+    )
+    assert enc_mismatch == want_mismatch, enc_mismatch
+
+    assert params["image_encoder"]["pos_embed"].shape == (1, token, token, dim)
+    for i in global_idx:
+        assert params["image_encoder"][f"blocks_{i}"]["attn"]["rel_pos_h"].shape \
+            == (2 * token - 1, hd)
+    # an unaffected windowed block keeps its 14x14 table verbatim
+    np.testing.assert_allclose(
+        params["image_encoder"]["blocks_0"]["attn"]["rel_pos_h"],
+        sd["image_encoder.blocks.0.attn.rel_pos_h"].numpy(),
+        rtol=1e-6,
+    )
+    # qkv layout transpose at the vit_l/h dims
+    np.testing.assert_allclose(
+        params["image_encoder"]["blocks_1"]["attn"]["qkv"]["kernel"],
+        sd["image_encoder.blocks.1.attn.qkv.weight"].numpy().T,
+        rtol=1e-6,
+    )
+
+
+def test_vit_l_block_stack_matches_torch_oracle():
+    """Small-grid oracle parity at the vit_l layout (dim 1024, 16 heads,
+    full depth 24 with global_attn_indexes (5,11,17,23)) through the real
+    converter — pins the conversion + model math at vit_l dims."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+    from torch_oracle import OracleImageEncoderViT
+
+    from sam_road_tpu.models.convert import convert_state_dict, overlay_params
+    from sam_road_tpu.models.vit import ImageEncoderViT
+
+    torch.manual_seed(0)
+    kw = dict(img_size=64, embed_dim=1024, depth=24, num_heads=16,
+              out_chans=256, window_size=4, global_attn_indexes=(5, 11, 17, 23))
+    oracle = OracleImageEncoderViT(**kw).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.02)
+    sd = {f"image_encoder.{k}": v for k, v in oracle.state_dict().items()}
+    conv = convert_state_dict(sd, image_size=64,
+                              global_attn_indexes=(5, 11, 17, 23))
+    assert not conv["skipped"], conv["skipped"]
+
+    enc = ImageEncoderViT(dtype=jnp.float32, **kw)
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    init = jax.tree.map(np.asarray,
+                        enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"])
+    merged, matched, mismatched = overlay_params(
+        init, conv["params"]["image_encoder"]
+    )
+    assert not mismatched, mismatched
+    got = np.asarray(enc.apply({"params": merged}, jnp.asarray(x)))
+    with torch.no_grad():
+        want = oracle(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_verify_real_ckpt_tool_dryrun(tmp_path):
+    """tools/verify_real_ckpt.py dry-run against the fake flagship ckpt:
+    the one-command parity check must run end to end and report ~0 oracle
+    diff (same weights both sides), so first contact with a REAL checkpoint
+    is a one-liner, not new engineering."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_real_ckpt",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "verify_real_ckpt.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    sd = _fake_sam_vit_b_state_dict()
+    # unit-randn weights make 12-block activations explode (std ~6e3) and
+    # saturate softmax, which amplifies fp32 reassociation chaotically —
+    # scale to the well-conditioned regime real checkpoints live in
+    sd = {k: v * 0.02 for k, v in sd.items()}
+    path = tmp_path / "sam_vit_b_fake.pth"
+    torch.save(sd, str(path))
+    lines = []
+    worst = tool.run(str(path), "vit_b", 256, oracle=True,
+                     out=lambda *a: lines.append(" ".join(map(str, a))))
+    assert worst < 1e-3, worst
+    assert any("matched params" in l for l in lines)
 
 
 def test_samroad_lightning_ckpt_with_lora_converts(tmp_path):

@@ -42,21 +42,34 @@ def main(only=None):
 
     results = {}
 
+    ITERS = 5
+
     def timed(fn, label):
-        # Time with a SCALAR fetch: the full [32,32,32,256] output is 134 MB
-        # and the tunnel link (~8-100 MB/s) would swamp the device time.
-        # Parity of the full tensors is pinned by CPU tests; here we compare
-        # device wall time + an L1 norm (sum of |x|) — cancellation-resistant,
-        # unlike a plain sum where sign-symmetric kernel errors cancel.
+        # Time ITERS applications INSIDE one jitted scan so the tunnel's
+        # per-call dispatch RTT (28 ms healthy, multi-second degraded)
+        # amortizes — per-call timing swings 60x on bad days. The carry
+        # perturbs the input by a data-dependent epsilon so XLA cannot CSE
+        # the iterations. Fetch is one SCALAR (an L1 norm — cancellation-
+        # resistant agreement check, unlike a plain sum).
         try:
-            f = jax.jit(lambda p, xx: jnp.abs(fn(p, xx).astype(jnp.float32)).sum())
-            out = float(f(params, x))
+            @jax.jit
+            def run(p, xx):
+                def step(c, _):
+                    out = fn(p, xx + c)
+                    s = jnp.abs(out.astype(jnp.float32)).sum()
+                    return (s * 1e-30).astype(xx.dtype), s
+                _, ss = jax.lax.scan(
+                    step, jnp.zeros((), xx.dtype), None, length=ITERS
+                )
+                return ss
+
+            out = float(run(params, x)[0])  # compile + warmup
             ts = []
-            for _ in range(6):
+            for _ in range(3):
                 t0 = time.time()
-                float(f(params, x))
+                float(run(params, x)[0])
                 ts.append(time.time() - t0)
-            results[label + "_ms"] = round(min(ts) * 1e3, 1)
+            results[label + "_ms"] = round(min(ts) / ITERS * 1e3, 1)
             results[label + "_l1"] = out
             print(f"# {label}: {results[label + '_ms']} ms l1={out:.1f}", flush=True)
             return out
@@ -65,8 +78,9 @@ def main(only=None):
             print(f"# {label}: {results[label + '_ms']}", flush=True)
             return None
 
+    wanted = None if only is None else set(only.split(","))
     ref = None
-    if only is None or only == "flax":
+    if wanted is None or "flax" in wanted:
         ref = timed(lambda p, x: enc.apply({"params": p}, x), "flax")
 
     def fused(kernel_version, group=1, ga=4, gm=2):
@@ -79,6 +93,7 @@ def main(only=None):
         return fn
 
     for label, fn in [
+        ("v3", fused(3)),
         ("v1_g1", fused(1, group=1)),
         ("v1_g4", fused(1, group=4)),
         ("v2_ga1_gm1", fused(2, ga=1, gm=1)),
@@ -86,7 +101,7 @@ def main(only=None):
         ("v2_ga8_gm4", fused(2, ga=8, gm=4)),
         ("v2_ga16_gm8", fused(2, ga=16, gm=8)),
     ]:
-        if only is not None and label != only:
+        if wanted is not None and label not in wanted:
             continue
         out = timed(fn, label)
         if out is not None and ref is not None:
