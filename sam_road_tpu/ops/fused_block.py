@@ -287,6 +287,88 @@ def _window_attn_kernel(num_heads: int, win: int, qkv_ref, rh_ref, rw_ref,
     o_ref[0] = jnp.concatenate(head_outs, axis=-1).astype(o_ref.dtype)
 
 
+def _window_attn_batched_kernel(win: int, q_ref, k_ref, v_ref, rh_ref, rw_ref,
+                                o_ref):
+    """Batched windowed attention: (window, head) pairs flattened into ONE
+    leading batch dim, `GH` of them per program, every stage a single
+    batched dot_general (no per-head Python loop — the unrolled-head
+    kernels are latency-bound on thousands of tiny MXU ops at 288+
+    programs x 12 heads). Blocks: q/k/v (GH, N, hd); rel tables
+    row-expanded (N, win, hd)."""
+    GH, N, hd = q_ref.shape
+    scale = hd ** -0.5
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    b1 = (((2,), (2,)), ((0,), (0,)))  # contract last, batch leading
+    s = jax.lax.dot_general(q, k, b1, preferred_element_type=jnp.float32)
+    s = s * scale  # (GH, N, N) f32
+    qf = q.astype(jnp.float32)
+    rh = rh_ref[:].astype(jnp.float32)  # (N, win, hd)
+    rw = rw_ref[:].astype(jnp.float32)
+    # bh[g, n, a] = sum_c q[g, n, c] * rh[n, a, c] — 4D broadcast-reduce
+    bh = jnp.sum(qf[:, :, None, :] * rh[None], axis=-1)  # (GH, N, win)
+    bw = jnp.sum(qf[:, :, None, :] * rw[None], axis=-1)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
+    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
+    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+    bspread = (((2,), (1,)), ((0,), (0,)))
+    s = s + jax.lax.dot_general(
+        bh, jnp.broadcast_to(sel_h[None], (GH, win, N)), bspread,
+        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        bw, jnp.broadcast_to(sel_w[None], (GH, win, N)), bspread,
+        preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def window_attention_relpos_batched(q, k, v, rel_pos_h, rel_pos_w, win: int,
+                                    group: int = 4,
+                                    interpret: bool = False):
+    """Windowed rel-pos attention over head-split q/k/v [nW, H, N, hd].
+
+    Returns [nW, H, N, hd]. The (window, head) axes flatten into one batch
+    dim so the kernel runs ONE batched matmul per stage (scores,
+    bias-spread x2, AV) for `group` windows x all heads per program,
+    instead of a per-head loop of tiny MXU ops."""
+    nW, H, N, hd = q.shape
+    assert N == win * win
+    g = group
+    while g > 1 and nW % g:
+        g //= 2
+    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
+    rh = jnp.asarray(rel_pos_h)[coords]
+    rw = jnp.asarray(rel_pos_w)[coords]
+    rh = jnp.repeat(rh, win, axis=0)
+    rw = jnp.tile(rw, (win, 1, 1))
+    dt = q.dtype
+    GH = g * H
+    qf = q.reshape(nW * H, N, hd)
+    kf = k.reshape(nW * H, N, hd)
+    vf = v.reshape(nW * H, N, hd)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    blk = lambda: pl.BlockSpec((GH, N, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_window_attn_batched_kernel, win),
+        out_shape=jax.ShapeDtypeStruct((nW * H, N, hd), dt),
+        grid=(nW * H // GH,),
+        in_specs=[blk(), blk(), blk(),
+                  full((N, win, hd)), full((N, win, hd))],
+        out_specs=blk(),
+        interpret=interpret,
+    )(qf, kf, vf, rh.astype(dt), rw.astype(dt))
+    return out.reshape(nW, H, N, hd)
+
+
 def window_attention_relpos(qkv_windows, rel_pos_h, rel_pos_w, win: int,
                             num_heads: int, interpret: bool = False):
     """Windowed multi-head attention over pre-projected qkv windows.

@@ -109,13 +109,15 @@ def _ln_mlp_kernel(chunks: int, x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, *, tile: int = 256,
+def ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, *, tile: int = 512,
                     chunks: int = 4, interpret: bool = False):
     """out = x + Dense2(gelu_exact(Dense1(LN(x)))): [M, C] -> [M, C].
 
     The hidden activation (4C wide, f32) is processed in `chunks` column
     blocks so it lives only in VMEM — the XLA path writes + re-reads the
-    full 4x hidden tensor through HBM twice per block.
+    full 4x hidden tensor through HBM twice per block. Tile 512 measured
+    best at ViT-B dims (paired microbench, tools/experiment_fused_ln.py:
+    4.95 ms vs 8.37 at t256 vs 7.0 XLA for M=32768).
     """
     M, C = x.shape
     hidden = w1.shape[-1]

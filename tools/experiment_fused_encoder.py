@@ -43,14 +43,19 @@ def main(only=None):
     results = {}
 
     ITERS = 5
+    ROUNDS = 5
+    runners = {}  # label -> compiled scan runner
 
     def timed(fn, label):
-        # Time ITERS applications INSIDE one jitted scan so the tunnel's
-        # per-call dispatch RTT (28 ms healthy, multi-second degraded)
-        # amortizes — per-call timing swings 60x on bad days. The carry
-        # perturbs the input by a data-dependent epsilon so XLA cannot CSE
-        # the iterations. Fetch is one SCALAR (an L1 norm — cancellation-
-        # resistant agreement check, unlike a plain sum).
+        # Each variant is ITERS applications INSIDE one jitted scan so the
+        # tunnel's per-call dispatch RTT (28 ms healthy, multi-second
+        # degraded) amortizes. The carry perturbs the input by a data-
+        # dependent epsilon so XLA cannot CSE the iterations. Fetch is one
+        # SCALAR (an L1 norm — cancellation-resistant agreement check).
+        # Variants are only COMPILED + WARMED here; timing happens later,
+        # INTERLEAVED round-robin across all variants, because the shared
+        # device swings ~10x on minute scales — sequential per-variant
+        # timing attributes device weather to code changes.
         try:
             @jax.jit
             def run(p, xx):
@@ -64,19 +69,35 @@ def main(only=None):
                 return ss
 
             out = float(run(params, x)[0])  # compile + warmup
-            ts = []
-            for _ in range(3):
-                t0 = time.time()
-                float(run(params, x)[0])
-                ts.append(time.time() - t0)
-            results[label + "_ms"] = round(min(ts) / ITERS * 1e3, 1)
             results[label + "_l1"] = out
-            print(f"# {label}: {results[label + '_ms']} ms l1={out:.1f}", flush=True)
+            runners[label] = run
+            print(f"# {label}: compiled, l1={out:.1f}", flush=True)
             return out
         except Exception as e:
             results[label + "_ms"] = f"FAIL: {str(e)[:140]}"
             print(f"# {label}: {results[label + '_ms']}", flush=True)
             return None
+
+    def run_interleaved():
+        times = {lb: [] for lb in runners}
+        for r in range(ROUNDS):
+            for lb, run in runners.items():
+                t0 = time.time()
+                float(run(params, x)[0])
+                times[lb].append((time.time() - t0) / ITERS)
+            print("# round %d: %s" % (
+                r, " ".join(f"{lb}={times[lb][-1]*1e3:.0f}ms"
+                            for lb in runners)), flush=True)
+        for lb, ts in times.items():
+            results[lb + "_ms"] = round(min(ts) * 1e3, 1)
+            results[lb + "_ms_rounds"] = [round(t * 1e3, 1) for t in ts]
+        if "flax" in times:
+            for lb in times:
+                if lb == "flax":
+                    continue
+                ratios = [a / b for a, b in zip(times["flax"], times[lb])]
+                results[lb + "_paired_speedup_median"] = round(
+                    float(np.median(ratios)), 3)
 
     wanted = None if only is None else set(only.split(","))
     ref = None
@@ -107,6 +128,7 @@ def main(only=None):
         if out is not None and ref is not None:
             results[label + "_sumdiff"] = float(abs(out - ref))
 
+    run_interleaved()
     print(json.dumps(results, indent=1))
 
 

@@ -34,7 +34,12 @@ def main(which="all"):
     results = {}
     ITERS = 10
 
+    runners = []  # (label, run, args) — timed interleaved at the end
+
     def timed(label, fn, *args):
+        # compile + warm here; timing happens round-robin across ALL
+        # variants afterwards (the shared device swings ~10x on minute
+        # scales; sequential timing attributes weather to code).
         try:
             @jax.jit
             def run(*a):
@@ -47,17 +52,23 @@ def main(which="all"):
                 return ss
 
             l1 = float(run(*args)[0])
-            ts = []
-            for _ in range(3):
-                t0 = time.time()
-                float(run(*args)[0])
-                ts.append(time.time() - t0)
-            results[label + "_ms"] = round(min(ts) / ITERS * 1e3, 2)
             results[label + "_l1"] = round(l1, 1)
-            print(f"# {label}: {results[label + '_ms']} ms", flush=True)
+            runners.append((label, run, args))
+            print(f"# {label}: compiled", flush=True)
         except Exception as e:
             results[label + "_ms"] = f"FAIL: {str(e)[:120]}"
             print(f"# {label}: {results[label + '_ms']}", flush=True)
+
+    def run_interleaved(rounds=4):
+        times = {lb: [] for lb, _, _ in runners}
+        for r in range(rounds):
+            for lb, run, args in runners:
+                t0 = time.time()
+                float(run(*args)[0])
+                times[lb].append((time.time() - t0) / ITERS)
+        for lb, ts in times.items():
+            results[lb + "_ms"] = round(min(ts) * 1e3, 2)
+            print(f"# {lb}: {results[lb + '_ms']} ms", flush=True)
 
     # ---- ln_dense (qkv shape: C -> 3C) ----
     if which in ("all", "ln_dense"):
@@ -133,6 +144,47 @@ def main(which="all"):
 
         timed("pl_window_attn", pl_wattn, qkv, rh, rw)
 
+        from sam_road_tpu.ops.fused_block import window_attention_relpos_batched
+
+        def heads_split(t):
+            return t.reshape(nW, N, heads, hd).transpose(0, 2, 1, 3)
+
+        def pl_wattn_batched(qkv, rh, rw, g):
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = window_attention_relpos_batched(
+                heads_split(q), heads_split(k), heads_split(v), rh, rw, win,
+                group=g,
+            )
+            return out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+
+        for g in (1, 4, 8):
+            timed(f"pl_wattn_batched_g{g}",
+                  lambda qkv, rh, rw, gg=g: pl_wattn_batched(qkv, rh, rw, gg),
+                  qkv, rh, rw)
+
+        def xla_textbook(qkv, rh, rw):
+            # textbook decomposed rel-pos: bias einsums + 6D broadcast add,
+            # plain XLA softmax (no pallas) — reference formulation
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            qh, kh, vh = map(heads_split, (q, k, v))
+            Rh = _get_rel_pos_table(win, rh).astype(DT)
+            Rw = _get_rel_pos_table(win, rw).astype(DT)
+            s = jnp.einsum("bhnd,bhmd->bhnm", qh * (hd ** -0.5), kh,
+                           preferred_element_type=jnp.float32)
+            r_q = qh.reshape(nW, heads, win, win, hd)
+            relh = jnp.einsum("bhiwc,iac->bhiwa", r_q, Rh.astype(qh.dtype))
+            relw = jnp.einsum("bhiwc,wac->bhiwa", r_q, Rw.astype(qh.dtype))
+            s = s.reshape(nW, heads, win, win, win, win)
+            s = s + relh[..., :, None].astype(jnp.float32)
+            s = s + relw[..., None, :].astype(jnp.float32)
+            s = s.reshape(nW, heads, N, N)
+            p = jax.nn.softmax(s, axis=-1).astype(DT)
+            out = jnp.einsum("bhnm,bhmd->bhnd", p, vh)
+            return out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+
+        timed("xla_textbook_attn", xla_textbook, qkv, rh, rw)
+
+    run_interleaved()
     print(json.dumps(results, indent=1))
 
 
