@@ -312,6 +312,12 @@ class TiledInferenceEngine:
     def _phase2_impl(self, params, feats, points, pairs, valid):
         if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
             feats = feats.reshape((-1,) + feats.shape[2:])
+        # compact host->device transport (uint16 coords are exact for pixel
+        # grids <= 65k; int16 pair indices cover the <=32k point buckets):
+        # at ~100 MB/s link, phase-2 arg bytes are a measurable slice of the
+        # region time. Decode on device.
+        points = points.astype(jnp.float32)
+        pairs = pairs.astype(jnp.int32)
         return self.model.apply(
             {"params": params},
             feats,
@@ -470,10 +476,13 @@ class TiledInferenceEngine:
 
             if max_pts == 0:
                 continue
-            # pad to shape bucket to bound recompiles
+            # pad to shape bucket to bound recompiles; compact dtypes (the
+            # jitted phase-2 decodes): uint16 coords exact for <=65k-px
+            # regions, int16 pair indices cover <=32k-point buckets
             S = _bucket_size(max_pts, self.point_bucket)
-            bpoints = np.zeros((B, S, 2), np.float32)
-            bpairs = np.zeros((B, S, max_nbr, 2), np.int32)
+            assert S < 32768, "point bucket exceeds int16 pair index range"
+            bpoints = np.zeros((B, S, 2), np.uint16)
+            bpairs = np.zeros((B, S, max_nbr, 2), np.int16)
             bvalid = np.zeros((B, S, max_nbr), bool)
             for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
                 n = pts.shape[0]

@@ -247,19 +247,20 @@ def _round_up8(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
-def _window_attn_kernel(num_heads: int, win: int, qkv_ref, rh_ref, rw_ref,
-                        o_ref):
-    """Pure windowed attention with in-kernel decomposed rel-pos: one window
-    per program, qkv already projected ([1, N, 3C] block). No LN/proj — the
-    v3 path (models/fast_encoder.py) keeps those in token-tiled kernels/XLA
-    where matmul shapes are MXU-grade; this kernel only does what NEEDS the
-    window layout. Scores never touch HBM."""
+def _window_attn_kernel(num_heads: int, win: int, group: int, qkv_ref,
+                        rh_ref, rw_ref, o_ref):
+    """Pure windowed attention with in-kernel decomposed rel-pos: `group`
+    windows per program, qkv already projected ([G, N, 3C] block). No
+    LN/proj — the v3 path (models/fast_encoder.py) keeps those in
+    token-tiled kernels/XLA where matmul shapes are MXU-grade; this kernel
+    only does what NEEDS the window layout. Scores never touch HBM.
+    (A batched-dot_general formulation collapses the per-head loop but
+    crashes this platform's AOT compile helper — tools/repro_aot_crash.py.)"""
     N = win * win
     C = qkv_ref.shape[-1] // 3
     head_dim = C // num_heads
     scale = head_dim ** -0.5
 
-    qkv = qkv_ref[0]  # (N, 3C)
     rh_exp = rh_ref[:].astype(jnp.float32)  # (N, win, head_dim)
     rw_exp = rw_ref[:].astype(jnp.float32)
     a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
@@ -267,59 +268,70 @@ def _window_attn_kernel(num_heads: int, win: int, qkv_ref, rh_ref, rw_ref,
     sel_h = (k_idx // win == a_idx).astype(jnp.float32)
     sel_w = (k_idx % win == a_idx).astype(jnp.float32)
 
-    head_outs = []
-    for head in range(num_heads):
-        q = qkv[:, head * head_dim:(head + 1) * head_dim]
-        k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
-        v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        qf = q.astype(jnp.float32)
-        bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
-        bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)
-        s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
-        s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        head_outs.append(
-            jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        )
-    o_ref[0] = jnp.concatenate(head_outs, axis=-1).astype(o_ref.dtype)
+    for g in range(group):
+        qkv = qkv_ref[g]  # (N, 3C)
+        head_outs = []
+        for head in range(num_heads):
+            q = qkv[:, head * head_dim:(head + 1) * head_dim]
+            k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
+            v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            qf = q.astype(jnp.float32)
+            bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
+            bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)
+            s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
+            s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            head_outs.append(
+                jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            )
+        o_ref[g] = jnp.concatenate(head_outs, axis=-1).astype(o_ref.dtype)
 
 
-def _window_attn_batched_kernel(win: int, q_ref, k_ref, v_ref, rh_ref, rw_ref,
-                                o_ref):
+def _window_attn_batched_kernel(win: int, n_real: int, q_ref, k_ref, v_ref,
+                                rh_ref, rw_ref, o_ref):
     """Batched windowed attention: (window, head) pairs flattened into ONE
     leading batch dim, `GH` of them per program, every stage a single
     batched dot_general (no per-head Python loop — the unrolled-head
     kernels are latency-bound on thousands of tiny MXU ops at 288+
-    programs x 12 heads). Blocks: q/k/v (GH, N, hd); rel tables
-    row-expanded (N, win, hd)."""
-    GH, N, hd = q_ref.shape
+    programs x 12 heads). Token axis padded to a lane-aligned Np (>=128
+    multiple): the first n_real keys are SAM-semantic, the rest are masked
+    out with -inf bias. Blocks: q/k/v (GH, Np, hd); rel tables
+    row-expanded (Np, win, hd)."""
+    GH, Np, hd = q_ref.shape
     scale = hd ** -0.5
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
     b1 = (((2,), (2,)), ((0,), (0,)))  # contract last, batch leading
     s = jax.lax.dot_general(q, k, b1, preferred_element_type=jnp.float32)
-    s = s * scale  # (GH, N, N) f32
+    s = s * scale  # (GH, Np, Np) f32
     qf = q.astype(jnp.float32)
-    rh = rh_ref[:].astype(jnp.float32)  # (N, win, hd)
+    rh = rh_ref[:].astype(jnp.float32)  # (Np, win, hd)
     rw = rw_ref[:].astype(jnp.float32)
     # bh[g, n, a] = sum_c q[g, n, c] * rh[n, a, c] — 4D broadcast-reduce
-    bh = jnp.sum(qf[:, :, None, :] * rh[None], axis=-1)  # (GH, N, win)
+    bh = jnp.sum(qf[:, :, None, :] * rh[None], axis=-1)  # (GH, Np, win)
     bw = jnp.sum(qf[:, :, None, :] * rw[None], axis=-1)
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
-    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
-    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, Np), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, Np), 1)
+    real = k_idx < n_real
+    sel_h = ((k_idx // win == a_idx) & real).astype(jnp.float32)
+    sel_w = ((k_idx % win == a_idx) & real).astype(jnp.float32)
     bspread = (((2,), (1,)), ((0,), (0,)))
     s = s + jax.lax.dot_general(
-        bh, jnp.broadcast_to(sel_h[None], (GH, win, N)), bspread,
+        bh, jnp.broadcast_to(sel_h[None], (GH, win, Np)), bspread,
         preferred_element_type=jnp.float32)
     s = s + jax.lax.dot_general(
-        bw, jnp.broadcast_to(sel_w[None], (GH, win, N)), bspread,
+        bw, jnp.broadcast_to(sel_w[None], (GH, win, Np)), bspread,
         preferred_element_type=jnp.float32)
+    # non-semantic pad keys (n_real..Np) never participate
+    s = s + jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Np), 2) < n_real, 0.0,
+        -1e30,
+    )
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -327,6 +339,10 @@ def _window_attn_batched_kernel(win: int, q_ref, k_ref, v_ref, rh_ref, rw_ref,
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def window_attention_relpos_batched(q, k, v, rel_pos_h, rel_pos_w, win: int,
@@ -337,40 +353,47 @@ def window_attention_relpos_batched(q, k, v, rel_pos_h, rel_pos_w, win: int,
     Returns [nW, H, N, hd]. The (window, head) axes flatten into one batch
     dim so the kernel runs ONE batched matmul per stage (scores,
     bias-spread x2, AV) for `group` windows x all heads per program,
-    instead of a per-head loop of tiny MXU ops."""
+    instead of a per-head loop of tiny MXU ops. The token axis is padded
+    to a 128-lane multiple (196 -> 256 at window 14) with -inf-masked
+    keys, keeping every score matrix lane-aligned."""
     nW, H, N, hd = q.shape
     assert N == win * win
     g = group
     while g > 1 and nW % g:
         g //= 2
+    Np = _round_up(max(N, 128), 128)
     coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
     rh = jnp.asarray(rel_pos_h)[coords]
     rw = jnp.asarray(rel_pos_w)[coords]
     rh = jnp.repeat(rh, win, axis=0)
     rw = jnp.tile(rw, (win, 1, 1))
+    rh = jnp.pad(rh, ((0, Np - N), (0, 0), (0, 0)))
+    rw = jnp.pad(rw, ((0, Np - N), (0, 0), (0, 0)))
     dt = q.dtype
     GH = g * H
-    qf = q.reshape(nW * H, N, hd)
-    kf = k.reshape(nW * H, N, hd)
-    vf = v.reshape(nW * H, N, hd)
+    pad = ((0, 0), (0, Np - N), (0, 0))
+    qf = jnp.pad(q.reshape(nW * H, N, hd), pad)
+    kf = jnp.pad(k.reshape(nW * H, N, hd), pad)
+    vf = jnp.pad(v.reshape(nW * H, N, hd), pad)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    blk = lambda: pl.BlockSpec((GH, N, hd), lambda i: (i, 0, 0),
+    blk = lambda: pl.BlockSpec((GH, Np, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_window_attn_batched_kernel, win),
-        out_shape=jax.ShapeDtypeStruct((nW * H, N, hd), dt),
+        functools.partial(_window_attn_batched_kernel, win, N),
+        out_shape=jax.ShapeDtypeStruct((nW * H, Np, hd), dt),
         grid=(nW * H // GH,),
         in_specs=[blk(), blk(), blk(),
-                  full((N, win, hd)), full((N, win, hd))],
+                  full((Np, win, hd)), full((Np, win, hd))],
         out_specs=blk(),
         interpret=interpret,
     )(qf, kf, vf, rh.astype(dt), rw.astype(dt))
-    return out.reshape(nW, H, N, hd)
+    return out[:, :N].reshape(nW, H, N, hd)
 
 
 def window_attention_relpos(qkv_windows, rel_pos_h, rel_pos_w, win: int,
-                            num_heads: int, interpret: bool = False):
+                            num_heads: int, interpret: bool = False,
+                            group: int = 1):
     """Windowed multi-head attention over pre-projected qkv windows.
 
     Args:
@@ -378,12 +401,17 @@ def window_attention_relpos(qkv_windows, rel_pos_h, rel_pos_w, win: int,
         layout. Pad windows/tokens follow SAM semantics upstream (pad
         tokens carry the qkv bias, i.e. qkv of a zero input).
       rel_pos_h / rel_pos_w: (2*win-1, head_dim) decomposed tables.
+      group: windows per program (amortizes per-program overhead at the
+        cost of MLIR size — large groups can upset fragile AOT toolchains).
     Returns [nW, win*win, C] attention output (pre-proj).
     """
     nW, N, C3 = qkv_windows.shape
     assert N == win * win
     C = C3 // 3
     hd = C // num_heads
+    g = group
+    while g > 1 and nW % g:
+        g //= 2
     coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
     rh = jnp.asarray(rel_pos_h)[coords]  # (win, win, hd): [i, a, c]
     rw = jnp.asarray(rel_pos_w)[coords]
@@ -394,15 +422,15 @@ def window_attention_relpos(qkv_windows, rel_pos_h, rel_pos_w, win: int,
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_window_attn_kernel, num_heads, win),
+        functools.partial(_window_attn_kernel, num_heads, win, g),
         out_shape=jax.ShapeDtypeStruct((nW, N, C), dt),
-        grid=(nW,),
+        grid=(nW // g,),
         in_specs=[
-            pl.BlockSpec((1, N, C3), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, N, C3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             full((N, win, hd)), full((N, win, hd)),
         ],
-        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qkv_windows, rh.astype(dt), rw.astype(dt))

@@ -141,6 +141,12 @@ def test_window_attention_batched_matches_oracle_math():
         axis=-1,
     )
     want = window_attention_relpos(qkv, rh, rw, win, heads, interpret=True)
+    # grouped per-head programs must agree with group=1 exactly
+    for g in (2, 3):
+        got_g = window_attention_relpos(qkv, rh, rw, win, heads,
+                                        interpret=True, group=g)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
     want = want.reshape(nW, N, heads, hd).transpose(0, 2, 1, 3)
 
     for group in (1, 2, 3):

@@ -138,28 +138,20 @@ def main(which="all"):
 
         timed("xla_fold_attn", xla_fold_attn, qkv, rh, rw)
 
-        def pl_wattn(qkv, rh, rw):
-            # kernel takes pre-scaled... no: it scales internally
-            return window_attention_relpos(qkv, rh, rw, win, heads)
+        def pl_wattn(qkv, rh, rw, group=1):
+            return window_attention_relpos(qkv, rh, rw, win, heads,
+                                           group=group)
 
         timed("pl_window_attn", pl_wattn, qkv, rh, rw)
-
-        from sam_road_tpu.ops.fused_block import window_attention_relpos_batched
 
         def heads_split(t):
             return t.reshape(nW, N, heads, hd).transpose(0, 2, 1, 3)
 
-        def pl_wattn_batched(qkv, rh, rw, g):
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            out = window_attention_relpos_batched(
-                heads_split(q), heads_split(k), heads_split(v), rh, rw, win,
-                group=g,
-            )
-            return out.transpose(0, 2, 1, 3).reshape(nW, N, C)
-
-        for g in (1, 4, 8):
-            timed(f"pl_wattn_batched_g{g}",
-                  lambda qkv, rh, rw, gg=g: pl_wattn_batched(qkv, rh, rw, gg),
+        # (batched-dot_general variant crashes the platform AOT helper —
+        # tools/repro_aot_crash.py; grouped per-head programs instead)
+        for g in (2, 4):
+            timed(f"pl_window_attn_g{g}",
+                  lambda qkv, rh, rw, gg=g: pl_wattn(qkv, rh, rw, group=gg),
                   qkv, rh, rw)
 
         def xla_textbook(qkv, rh, rw):
