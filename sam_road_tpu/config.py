@@ -98,8 +98,9 @@ DEFAULTS: dict = {
     # Inference fast path: fused Pallas encoder blocks (naive decoder,
     # no LoRA); kernel version 2 = split attention/MLP grouped-window kernels
     "FLASH_ATTENTION": True,  # False: plain XLA attention everywhere
+    "INFER_UPLOAD_BANDS": 1,  # >1: sliced region uploads overlap band i+1 transfer with band i compute
     "FUSED_ENCODER": False,
-    "FUSED_KERNEL_VERSION": 2,
+    "FUSED_KERNEL_VERSION": 3,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts
     # (288 windows; HTTP 500 from tpu_compile_helper, 2026-08-16) — default

@@ -94,10 +94,10 @@ class TiledInferenceEngine:
             self._rep = NamedSharding(mesh, P())
             self._shard = NamedSharding(mesh, P("dp"))
             self.params = jax.device_put(params, self._rep)
-            self._sharded_cache: dict = {}
         else:
             self.params = jax.device_put(params)
             self._phase1_region = jax.jit(self._phase1_region_impl)
+        self._sharded_cache: dict = {}  # memoized jitted programs
         self._phase2 = jax.jit(self._phase2_impl)
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
@@ -125,7 +125,7 @@ class TiledInferenceEngine:
         emb = encoder_forward_fused(
             params["image_encoder"], x, sam_version=spec.sam_version,
             img_size=spec.patch_size, dtype=spec.dtype,
-            kernel_version=int(self.config.FUSED_KERNEL_VERSION or 2),
+            kernel_version=int(self.config.FUSED_KERNEL_VERSION or 3),
             group_attn=int(self.config.FUSED_GROUP_ATTN or 1),
             group_mlp=int(self.config.FUSED_GROUP_MLP or 1),
         )
@@ -309,6 +309,108 @@ class TiledInferenceEngine:
         self._sharded_cache[key] = fn
         return fn
 
+    def _phase1_banded_upload(self, img, all_patch_info, n_bands):
+        """Single-chip phase 1 as `n_bands` row-band dispatches with SLICED
+        image uploads: band i+1's slab transfers over the host link while
+        band i computes, hiding the region upload behind encoder time
+        (the whole-region path serializes a 12.6 MB transfer before the
+        first FLOP — 126 ms on a healthy 100 MB/s link, seconds on a
+        degraded one). Mask accumulation stays int32 fixed-point, so the
+        banded result is BIT-identical to the single-dispatch path."""
+        B = self.batch_size
+        H, W = img.shape[0], img.shape[1]
+        p = self.patch_size
+        rows = sorted({info[1][1] for info in all_patch_info})
+        n_bands = max(1, min(n_bands, len(rows)))
+        base, extra = divmod(len(rows), n_bands)
+        groups, r = [], 0
+        for d in range(n_bands):
+            take = base + (1 if d < extra else 0)
+            groups.append(set(rows[r:r + take]))
+            r += take
+        band_idxs = [
+            [i for i, info in enumerate(all_patch_info) if info[1][1] in g]
+            for g in groups
+        ]
+        slab_h = max(
+            max(all_patch_info[i][1][1] for i in idxs)
+            - min(all_patch_info[i][1][1] for i in idxs) + p
+            for idxs in band_idxs
+        )
+        rounds = max((len(ix) + B - 1) // B for ix in band_idxs)
+        fn = self._get_banded_phase1(W, slab_h, rounds)
+
+        offs, slabs = [], []
+        for idxs in band_idxs:
+            y_lo = min(all_patch_info[i][1][1] for i in idxs)
+            y_lo = min(y_lo, H - slab_h)
+            offs.append(y_lo)
+            # async transfer; ordered queueing means slab i+1 streams while
+            # band i's dispatch executes
+            slabs.append(jax.device_put(
+                np.ascontiguousarray(img[y_lo:y_lo + slab_h])
+            ))
+
+        outs = []
+        for off, slab, idxs in zip(offs, slabs, band_idxs):
+            x0s = np.zeros((rounds, B), np.int32)
+            y0s = np.zeros((rounds, B), np.int32)
+            w = np.zeros((rounds, B), np.int32)
+            for j, gi in enumerate(idxs):
+                _, (x0, y0), _ = all_patch_info[gi]
+                x0s[j // B, j % B] = x0
+                y0s[j // B, j % B] = y0 - off  # slab-local rows
+                w[j // B, j % B] = 1
+            feats, band, cnt = fn(
+                self.params, slab, jnp.asarray(x0s), jnp.asarray(y0s),
+                jnp.asarray(w),
+            )
+            outs.append((feats, band, cnt))
+
+        masks_dev = self._get_band_finalize(H, slab_h, offs)(
+            jnp.stack([o[1] for o in outs]), jnp.stack([o[2] for o in outs])
+        )
+        batches = []
+        for (feats, _, _), idxs in zip(outs, band_idxs):
+            for rr in range(rounds):
+                info = [
+                    all_patch_info[idxs[j]] if j < len(idxs) else None
+                    for j in range(rr * B, (rr + 1) * B)
+                ]
+                if all(e is None for e in info):
+                    continue
+                batches.append((feats[rr], info))
+        return batches, masks_dev
+
+    def _get_banded_phase1(self, W, slab_h, rounds):
+        """Memoized jitted per-band program: scan this band's batches,
+        cropping from the band SLAB (slab-local y) and accumulating into a
+        slab-sized int32 buffer."""
+        key = ("bandup", W, slab_h, rounds)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        def run(params, slab, x0s, y0s, w):
+            band0 = jnp.zeros((slab_h, W, 2), jnp.int32)
+            cnt0 = jnp.zeros((slab_h, W), jnp.int32)
+
+            def step(carry, xyw):
+                band, cnt = carry
+                bx, by, bw = xyw
+                feats, band, cnt = self._phase1_impl(
+                    params, slab, bx, by, band, cnt, bw
+                )
+                return (band, cnt), feats
+
+            (band, cnt), feats = jax.lax.scan(
+                step, (band0, cnt0), (x0s, y0s, w)
+            )
+            return feats, band, cnt
+
+        fn = jax.jit(run)
+        self._sharded_cache[key] = fn
+        return fn
+
     def _phase2_impl(self, params, feats, points, pairs, valid):
         if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
             feats = feats.reshape((-1,) + feats.shape[2:])
@@ -398,6 +500,10 @@ class TiledInferenceEngine:
                             if j < len(per_dev[d]) else None
                         )
                 batches.append((feats[:, r], info))
+        elif int(cfg.INFER_UPLOAD_BANDS or 1) > 1 and patch_num > B:
+            batches, masks_dev = self._phase1_banded_upload(
+                img, all_patch_info, int(cfg.INFER_UPLOAD_BANDS)
+            )
         else:
             batch_num = (patch_num + B - 1) // B
             x0s = np.zeros((batch_num, B), np.int32)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table, fold_rel_pos_qk
-from sam_road_tpu.ops.attention import fused_attention
+from sam_road_tpu.ops.attention import attention_relpos_rows, fused_attention
 from sam_road_tpu.ops.fused_block import (
     _round_up8,
     fused_window_block,
@@ -122,8 +122,10 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
 
 def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
     """Global block with token-tiled LN1+qkv and LN2+MLP kernels; attention
-    keeps the folded rel-pos + whole-N Pallas kernel (in-kernel selector
-    bias at N=1024 would need an 8 MB expanded table in VMEM)."""
+    runs the whole-N kernel with rel-pos bias ROWS (q.Rh / q.Rw, small
+    batched einsums in XLA) spread onto the key axis in-kernel — the
+    folded q~/k~ augmentation (O(N*(D+H+W)) tensors, ~250 MB/block at
+    flagship geometry) never touches HBM."""
     B, H, W, C = x.shape
     interp = not on_tpu
     attn = bp["attn"]
@@ -138,8 +140,12 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
     q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
     Rh = _get_rel_pos_table(H, attn["rel_pos_h"]).astype(dtype)
     Rw = _get_rel_pos_table(W, attn["rel_pos_w"]).astype(dtype)
-    q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
-    out = fused_attention(q_aug, k_aug, v, interp)
+    r_q = q.reshape(B, num_heads, H, W, head_dim)
+    bh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+        B, num_heads, H * W, H)
+    bw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+        B, num_heads, H * W, W)
+    out = attention_relpos_rows(q * scale, k, v, bh, bw, (H, W), interp)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
     out = out @ attn["proj"]["kernel"].astype(dtype)
     x1 = x + (out + attn["proj"]["bias"].astype(dtype))

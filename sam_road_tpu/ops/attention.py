@@ -153,6 +153,72 @@ def _flash_forward(q, k, v, interpret: bool):
     return out.reshape(B, H, N, dv)
 
 
+def _relpos_rows_kernel(n_h: int, n_w: int, q_ref, k_ref, v_ref, bh_ref,
+                        bw_ref, o_ref):
+    """Whole-N attention with decomposed rel-pos applied in-kernel: the
+    per-row bias projections bh/bw (q . Rh / q . Rw, computed cheaply in
+    XLA as small batched matmuls) spread onto the key axis via static 0/1
+    selector matmuls, so the folded q~/k~ augmentation tensors never
+    materialize in HBM. One program per (batch, head); scores stay VMEM."""
+    q = q_ref[0]  # (N, D) — pre-scaled
+    k = k_ref[0]
+    N = q.shape[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (n_h, N), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (n_h, N), 1)
+    sel_h = (k_idx // n_w == a_idx).astype(jnp.float32)
+    a_idx2 = jax.lax.broadcasted_iota(jnp.int32, (n_w, N), 0)
+    k_idx2 = jax.lax.broadcasted_iota(jnp.int32, (n_w, N), 1)
+    sel_w = (k_idx2 % n_w == a_idx2).astype(jnp.float32)
+    s = s + jnp.dot(bh_ref[0].astype(jnp.float32), sel_h,
+                    preferred_element_type=jnp.float32)
+    s = s + jnp.dot(bw_ref[0].astype(jnp.float32), sel_w,
+                    preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def attention_relpos_rows(q, k, v, bh, bw, hw, interpret: bool = False):
+    """softmax(q k^T + spread(bh) + spread(bw)) v over a full (H, W) grid.
+
+    Args:
+      q: [B, nH, N, D] PRE-SCALED queries; k, v: [B, nH, N, D/dv].
+      bh: [B, nH, N, H] row-bias (q . Rh); bw: [B, nH, N, W].
+      hw: the (H, W) token grid (N == H*W).
+    Alternative to fold_rel_pos_qk + fused_attention for global blocks:
+    same math, but the O(N*(D+H+W)) augmented tensors are replaced by the
+    O(N*(H+W)) bias rows, and the spread happens in VMEM.
+    """
+    H, W = hw
+    B, nH, N, D = q.shape
+    dv = v.shape[-1]
+    qf = q.reshape(B * nH, N, D)
+    kf = k.reshape(B * nH, N, D)
+    vf = v.reshape(B * nH, N, dv)
+    bhf = bh.reshape(B * nH, N, H)
+    bwf = bw.reshape(B * nH, N, W)
+    out = pl.pallas_call(
+        functools.partial(_relpos_rows_kernel, H, W),
+        out_shape=jax.ShapeDtypeStruct((B * nH, N, dv), v.dtype),
+        grid=(B * nH,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf, bhf, bwf)
+    return out.reshape(B, nH, N, dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q, k, v, interpret: bool = False):
     """softmax(q @ k^T) @ v with scores resident in VMEM.

@@ -130,3 +130,28 @@ def test_infer_tiles_pipelined_matches_sequential(tiny_setup):
         np.testing.assert_array_equal(n1, n2)
         np.testing.assert_array_equal(e1, e2)
         np.testing.assert_array_equal(k1, k2)
+
+
+def test_banded_upload_bit_identical(tiny_setup):
+    """INFER_UPLOAD_BANDS > 1 (sliced region uploads overlapping band
+    compute) must produce BIT-identical masks and identical graphs — the
+    int32 fixed-point fusion makes banding associativity-free."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
+    base = TiledInferenceEngine(cfg, params, point_bucket=16)
+    n0, e0, kp0, rd0 = base.infer_one_img(img)
+
+    cfg_b = load_config(overrides={**{k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}, "INFER_UPLOAD_BANDS": 2})
+    banded = TiledInferenceEngine(cfg_b, params, point_bucket=16)
+    n1, e1, kp1, rd1 = banded.infer_one_img(img)
+
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(rd0, rd1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
