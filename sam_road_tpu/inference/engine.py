@@ -609,12 +609,23 @@ class TiledInferenceEngine:
         # bucket (typically one): each np.asarray on a remote-attached TPU
         # pays a full link round-trip, so fetching 8 batches separately
         # costs 8 RTTs where a device-side stack + single fetch costs 1.
+        # The stack is also SLICED to the real max point count (32-rounded)
+        # before it leaves the device — the power-of-two shape buckets
+        # exist for compile reuse, but their padding (often 2-4x the real
+        # points) need not cross the ~100 MB/s link.
         by_shape: dict = {}
         for bi, (scores_dev, _) in enumerate(pending):
             by_shape.setdefault(scores_dev.shape, []).append(bi)
         fetched: dict = {}
         for shape, idxs in by_shape.items():
-            stacked = np.asarray(jnp.stack([pending[bi][0] for bi in idxs]))
+            maxn = max(
+                (p[1].shape[0] for bi in idxs for p in pending[bi][1]),
+                default=0,
+            )
+            maxn_c = min(shape[1], _round_up(max(maxn, 1), 32))
+            stacked = np.asarray(
+                jnp.stack([pending[bi][0] for bi in idxs])[:, :, :maxn_c]
+            )
             for j, bi in enumerate(idxs):
                 fetched[bi] = stacked[j]
 
