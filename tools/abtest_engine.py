@@ -10,7 +10,9 @@ equally. Reports per-variant min/median and the paired per-round deltas
 (the statistic that actually decides an A/B).
 
 Usage:
-  python tools/abtest_engine.py '{"FUSED_ENCODER": true, "FUSED_KERNEL_VERSION": 3}' [reps]
+  python tools/abtest_engine.py '<B overrides json>' [reps] ['<A overrides json>']
+  # A defaults to the flagship config; pass a third arg to pin A too
+  # (e.g. isolate one knob on top of a shared fused baseline).
 """
 
 import json
@@ -23,6 +25,7 @@ import numpy as np
 def main():
     overrides = json.loads(sys.argv[1]) if len(sys.argv) > 1 else {}
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    overrides_a = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
 
     from sam_road_tpu.utils.runtime import enable_compilation_cache
 
@@ -36,7 +39,7 @@ def main():
         INFER_PATCHES_PER_EDGE=16, SAMPLE_MARGIN=64,
         COMPUTE_DTYPE="bfloat16", TOPO_SAMPLE_NUM=512,
     )
-    cfg_a = load_config(overrides=base)
+    cfg_a = load_config(overrides={**base, **overrides_a})
     cfg_b = load_config(overrides={**base, **overrides})
     params = init_params(cfg_a)
     rng = np.random.default_rng(0)
@@ -69,6 +72,7 @@ def main():
     deltas = [a - b for a, b in zip(t_a, t_b)]
     out = {
         "overrides": overrides,
+        "overrides_a": overrides_a,
         "a_s": [round(t, 3) for t in t_a],
         "b_s": [round(t, 3) for t in t_b],
         "a_min": round(min(t_a), 3), "b_min": round(min(t_b), 3),
