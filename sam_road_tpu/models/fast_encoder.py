@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table, fold_rel_pos_qk
 from sam_road_tpu.ops.attention import attention_relpos_rows, fused_attention
 from sam_road_tpu.ops.fused_block import (
+    window_attention_rows,
     _round_up8,
     fused_window_block,
     fused_window_block_v2,
@@ -77,9 +78,11 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
 
     The per-token chains run in token-tiled Pallas kernels at MXU-grade
     matmul shapes (ops/fused_ln.py); ONLY the attention itself runs in
-    window layout (ops/fused_block.py window_attention_relpos, rel-pos bias
-    built in-kernel — the folded-q~k~ formulation used by the flax path
-    costs ~5 ms/block in aug-tensor HBM traffic at flagship geometry).
+    window layout (ops/fused_block.py window_attention_rows): rel-pos bias
+    ROWS (q.Rh / q.Rw) come from one XLA batched einsum over all windows x
+    heads and are spread onto the key axis in-kernel via static selector
+    matmuls — the folded-q~k~ formulation used by the flax path costs
+    ~5 ms/block in aug-tensor HBM traffic at flagship geometry.
 
     Exact reference semantics: SAM zero-pads the NORM1 OUTPUT into windows
     (keys of pad slots = qkv bias). Here qkv is computed bias-FREE on real
@@ -105,9 +108,20 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     qkv_w = qkv_p.reshape(B, Hp // ws, ws, Wp // ws, ws, 3 * C)
     qkv_w = qkv_w.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
 
-    out_w = window_attention_relpos(
-        qkv_w, attn["rel_pos_h"], attn["rel_pos_w"], ws, num_heads,
-        interpret=interp,
+    # rel-pos bias rows for ALL windows x heads in one XLA batched einsum
+    # (the in-kernel broadcast-reduce was a third of the kernel's op count)
+    hd = C // num_heads
+    coords = np.arange(ws)[:, None] - np.arange(ws)[None, :] + ws - 1
+    Rh = jnp.asarray(attn["rel_pos_h"])[coords].astype(dtype)  # (ws, ws, hd)
+    Rw = jnp.asarray(attn["rel_pos_w"])[coords].astype(dtype)
+    qw = qkv_w[..., :C].reshape(-1, ws, ws, num_heads, hd)
+    nW = qw.shape[0]
+    bh = jnp.einsum("wijhc,iac->whija", qw, Rh).reshape(
+        nW, num_heads, ws * ws, ws)
+    bw = jnp.einsum("wijhc,jac->whija", qw, Rw).reshape(
+        nW, num_heads, ws * ws, ws)
+    out_w = window_attention_rows(
+        qkv_w, bh, bw, ws, num_heads, interpret=interp,
     )
     out = _unpartition(out_w, ws, (Hp, Wp), (H, W), B)
     out = out @ attn["proj"]["kernel"].astype(dtype)

@@ -291,6 +291,79 @@ def _window_attn_kernel(num_heads: int, win: int, group: int, qkv_ref,
         o_ref[g] = jnp.concatenate(head_outs, axis=-1).astype(o_ref.dtype)
 
 
+def _window_attn_rows_kernel(num_heads: int, win: int, group: int, qkv_ref,
+                             bh_ref, bw_ref, o_ref):
+    """Windowed attention with PRECOMPUTED rel-pos bias rows (bh = q.Rh,
+    bw = q.Rw, one cheap batched einsum in XLA for all windows x heads):
+    the kernel only spreads them onto the key axis via static selector
+    matmuls — 6 ops per head instead of 9 (the in-kernel broadcast-reduce
+    of the (N, win, hd) tables was a third of the op count). Mirrors the
+    global blocks' attention_relpos_rows design."""
+    N = win * win
+    C = qkv_ref.shape[-1] // 3
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
+    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
+    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+
+    for g in range(group):
+        qkv = qkv_ref[g]  # (N, 3C)
+        bh = bh_ref[g]    # (H, N, win)
+        bw = bw_ref[g]
+        head_outs = []
+        for head in range(num_heads):
+            q = qkv[:, head * head_dim:(head + 1) * head_dim]
+            k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
+            v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            s = s + jnp.dot(bh[head].astype(jnp.float32), sel_h,
+                            preferred_element_type=jnp.float32)
+            s = s + jnp.dot(bw[head].astype(jnp.float32), sel_w,
+                            preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            head_outs.append(
+                jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            )
+        o_ref[g] = jnp.concatenate(head_outs, axis=-1).astype(o_ref.dtype)
+
+
+def window_attention_rows(qkv_windows, bh, bw, win: int, num_heads: int,
+                          interpret: bool = False, group: int = 1):
+    """Windowed attention over pre-projected qkv windows with precomputed
+    rel-pos bias rows.
+
+    Args:
+      qkv_windows: [nW, N, 3C] fused qkv in window layout.
+      bh / bw: [nW, H, N, win] per-head bias rows (q . Rh / q . Rw).
+    Returns [nW, N, C].
+    """
+    nW, N, C3 = qkv_windows.shape
+    assert N == win * win
+    C = C3 // 3
+    g = group
+    while g > 1 and nW % g:
+        g //= 2
+    dt = qkv_windows.dtype
+    blk = lambda shape: pl.BlockSpec(
+        (g,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_window_attn_rows_kernel, num_heads, win, g),
+        out_shape=jax.ShapeDtypeStruct((nW, N, C), dt),
+        grid=(nW // g,),
+        in_specs=[blk((N, C3)), blk((num_heads, N, win)),
+                  blk((num_heads, N, win))],
+        out_specs=blk((N, C)),
+        interpret=interpret,
+    )(qkv_windows, bh.astype(dt), bw.astype(dt))
+
+
 def _window_attn_batched_kernel(win: int, n_real: int, q_ref, k_ref, v_ref,
                                 rh_ref, rw_ref, o_ref):
     """Batched windowed attention: (window, head) pairs flattened into ONE
