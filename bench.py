@@ -46,12 +46,11 @@ def main():
         SAMPLE_MARGIN=64,
         COMPUTE_DTYPE="bfloat16",
         TOPO_SAMPLE_NUM=512,
-        # round-3 engine path: token-tiled fused kernels (v3) measured
-        # faster at engine level (paired A/B: phase1 min 1.984 s vs
-        # 2.168 s default) and — unlike v1/v2 — compile inside the
-        # whole-region scan program on this platform's AOT toolchain.
+        # round-3 engine path: token-tiled fused kernels measured faster at
+        # engine level (paired A/B: phase1 min 1.984 s vs 2.168 s default)
+        # and compile inside the whole-region scan program on this
+        # platform's AOT toolchain.
         FUSED_ENCODER=True,
-        FUSED_KERNEL_VERSION=3,
     )
     config = load_config(overrides=base)
     params = init_params(config)

@@ -100,13 +100,10 @@ DEFAULTS: dict = {
     "FLASH_ATTENTION": True,  # False: plain XLA attention everywhere
     "INFER_UPLOAD_BANDS": 1,  # >1: sliced region uploads overlap band i+1 transfer with band i compute
     "FUSED_ENCODER": False,
-    "FUSED_KERNEL_VERSION": 3,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts
     # (288 windows; HTTP 500 from tpu_compile_helper, 2026-08-16) — default
     # to the grouping that compiles everywhere. See docs/DESIGN.md.
-    "FUSED_GROUP_ATTN": 1,
-    "FUSED_GROUP_MLP": 1,
     "TRAIN_EPOCHS": 10,
     "BASE_LR": 1e-3,
     "FREEZE_ENCODER": False,

@@ -125,9 +125,6 @@ class TiledInferenceEngine:
         emb = encoder_forward_fused(
             params["image_encoder"], x, sam_version=spec.sam_version,
             img_size=spec.patch_size, dtype=spec.dtype,
-            kernel_version=int(self.config.FUSED_KERNEL_VERSION or 3),
-            group_attn=int(self.config.FUSED_GROUP_ATTN or 1),
-            group_mlp=int(self.config.FUSED_GROUP_MLP or 1),
         )
         logits = MapDecoder(dtype=spec.dtype).apply(
             {"params": params["map_decoder"]}, emb

@@ -1,12 +1,16 @@
-"""Fused-kernel encoder forward (inference fast path).
+"""Fused-kernel encoder forward (the engine's production path).
 
-A functional re-statement of ImageEncoderViT.__call__ that consumes the SAME
-parameter tree as the flax module but runs every windowed block through the
-fused Pallas kernel (ops/fused_block.py) and chains consecutive windowed
-blocks in window layout (the reference unpartitions and repartitions at
-identical offsets between adjacent windowed blocks, so staying partitioned is
-exact for real tokens — pad rows are re-masked inside every kernel and
-dropped at the run's end).
+A functional re-statement of ImageEncoderViT.__call__ that consumes the
+SAME parameter tree as the flax module but re-fuses each block TPU-first
+("token-tiled" design, round 3): per-token chains (LN+qkv, LN+MLP+residual)
+run in token-tiled Pallas kernels at MXU-grade matmul shapes with hidden
+activations resident in VMEM (ops/fused_ln.py); only the attention itself
+runs in window layout, with rel-pos bias rows precomputed by one XLA
+batched einsum and spread in-kernel (ops/fused_block.py). Earlier
+whole-block-per-window kernel generations (v1/v2) were removed: their
+per-window matmuls starved the MXU and their grouped forms crashed the
+platform AOT compile helper (docs/DESIGN.md round-3 findings,
+tools/repro_aot_crash.py).
 
 Used by the inference engine when config.FUSED_ENCODER is on; training and
 checkpoints are untouched. Parity is tested against the flax encoder.
@@ -19,15 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table, fold_rel_pos_qk
-from sam_road_tpu.ops.attention import attention_relpos_rows, fused_attention
-from sam_road_tpu.ops.fused_block import (
-    window_attention_rows,
-    _round_up8,
-    fused_window_block,
-    fused_window_block_v2,
-    window_attention_relpos,
-)
+from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table
+from sam_road_tpu.ops.attention import attention_relpos_rows
+from sam_road_tpu.ops.fused_block import window_attention_rows
 from sam_road_tpu.ops.fused_ln import ln_dense, ln_mlp_residual
 
 
@@ -44,33 +42,6 @@ def _layer_norm2d(x, weight, bias, eps=1e-6):
     var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
     y = (xf - mu) / jnp.sqrt(var + eps)
     return y * weight + bias
-
-
-def _global_block(x, bp, num_heads, dtype, on_tpu):
-    """Global-attention block, identical math to models/vit.py Block."""
-    B, H, W, C = x.shape
-    head_dim = C // num_heads
-    scale = head_dim ** -0.5
-    h = _layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"]).astype(dtype)
-    qkv = h.reshape(B, H * W, C) @ bp["attn"]["qkv"]["kernel"].astype(dtype)
-    qkv = qkv + bp["attn"]["qkv"]["bias"].astype(dtype)
-    qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
-    q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
-
-    Rh = _get_rel_pos_table(H, bp["attn"]["rel_pos_h"]).astype(dtype)
-    Rw = _get_rel_pos_table(W, bp["attn"]["rel_pos_w"]).astype(dtype)
-    q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
-    out = fused_attention(q_aug, k_aug, v, not on_tpu)
-    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
-    out = out @ bp["attn"]["proj"]["kernel"].astype(dtype)
-    out = out + bp["attn"]["proj"]["bias"].astype(dtype)
-    x = x + out
-
-    h2 = _layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"]).astype(dtype)
-    mid = h2 @ bp["mlp_lin1"]["kernel"].astype(dtype) + bp["mlp_lin1"]["bias"].astype(dtype)
-    mid = jax.nn.gelu(mid, approximate=False)
-    mlp = mid @ bp["mlp_lin2"]["kernel"].astype(dtype) + bp["mlp_lin2"]["bias"].astype(dtype)
-    return x + mlp
 
 
 def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
@@ -171,26 +142,6 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
     ).reshape(B, H, W, C)
 
 
-def _partition_raw(x, ws):
-    """[B, H, W, C] -> ([B*nW, ws*ws, C], static real-token mask
-    [B*nW, ws*ws, 1], (Hp, Wp))."""
-    B, H, W, C = x.shape
-    pad_h = (ws - H % ws) % ws
-    pad_w = (ws - W % ws) % ws
-    if pad_h or pad_w:
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    Hp, Wp = H + pad_h, W + pad_w
-    xw = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
-    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
-
-    real = np.zeros((Hp, Wp), np.float32)
-    real[:H, :W] = 1.0
-    m = real.reshape(Hp // ws, ws, Wp // ws, ws).transpose(0, 2, 1, 3)
-    m = m.reshape(-1, ws * ws, 1)  # per-window mask (same for every image)
-    mask = jnp.asarray(np.tile(m, (B, 1, 1)))
-    return xw, mask, (Hp, Wp)
-
-
 def _unpartition(xw, ws, pad_hw, hw, B):
     Hp, Wp = pad_hw
     H, W = hw
@@ -202,16 +153,10 @@ def _unpartition(xw, ws, pad_hw, hw, B):
 
 def encoder_forward_fused(params, x, sam_version: str = "vit_b",
                           img_size: int = 512, window_size: int = 14,
-                          dtype=jnp.bfloat16, interpret: bool = False,
-                          group: int = 1, kernel_version: int = 1,
-                          group_attn: int = 4, group_mlp: int = 2):
-    """Full encoder forward on the standard param tree with fused windowed
-    blocks. x: [B, H, W, 3] normalized input; returns [B, h, w, 256].
-
-    kernel_version=2 uses the split attention/MLP kernels over windows
-    padded to a multiple of 8 tokens, which makes the multi-window merge a
-    legal Mosaic reshape so several windows share one program (better MXU
-    shapes for qkv/proj/MLP than version 1's per-window matmuls)."""
+                          dtype=jnp.bfloat16, interpret: bool = False):
+    """Full encoder forward on the standard param tree with token-tiled
+    fused kernels. x: [B, H, W, 3] normalized input; returns
+    [B, h, w, 256]."""
     spec = ENCODER_SPECS[sam_version]
     depth = spec["depth"]
     num_heads = spec["num_heads"]
@@ -226,50 +171,13 @@ def encoder_forward_fused(params, x, sam_version: str = "vit_b",
     ) + params["patch_embed_proj"]["bias"].astype(dtype)
     x = x + params["pos_embed"].astype(dtype)
 
-    B, H, W, C = x.shape
-    if kernel_version == 3:
-        # token-tiled fusion: LN+qkv / LN+MLP kernels on the compact grid,
-        # window-layout Pallas only for the attention itself
-        for i in range(depth):
-            bp = params[f"blocks_{i}"]
-            if i in global_idx:
-                x = _global_block_v3(x, bp, num_heads, dtype, on_tpu)
-            else:
-                x = _windowed_block_v3(x, bp, num_heads, window_size, dtype,
-                                       on_tpu)
-        return _neck(params, x, dtype)
-    i = 0
-    while i < depth:
+    for i in range(depth):
+        bp = params[f"blocks_{i}"]
         if i in global_idx:
-            x = _global_block(x, params[f"blocks_{i}"], num_heads, dtype, on_tpu)
-            i += 1
+            x = _global_block_v3(x, bp, num_heads, dtype, on_tpu)
         else:
-            # run of consecutive windowed blocks, chained in window layout
-            j = i
-            while j < depth and j not in global_idx:
-                j += 1
-            xw, mask, pad_hw = _partition_raw(x, window_size)
-            if kernel_version == 2:
-                N = window_size * window_size
-                npad = _round_up8(N)
-                xw = jnp.pad(xw, ((0, 0), (0, npad - N), (0, 0)))
-                mask = jnp.pad(mask, ((0, 0), (0, npad - N), (0, 0)))
-                for bi in range(i, j):
-                    xw = fused_window_block_v2(
-                        xw, mask, params[f"blocks_{bi}"], window_size,
-                        num_heads, interpret=not on_tpu,
-                        group_attn=group_attn, group_mlp=group_mlp,
-                    )
-                xw = xw[:, :N]
-            else:
-                for bi in range(i, j):
-                    xw = fused_window_block(
-                        xw, mask, params[f"blocks_{bi}"], window_size,
-                        num_heads, interpret=not on_tpu, group=group,
-                    )
-            x = _unpartition(xw, window_size, pad_hw, (H, W), B)
-            i = j
-
+            x = _windowed_block_v3(x, bp, num_heads, window_size, dtype,
+                                   on_tpu)
     return _neck(params, x, dtype)
 
 

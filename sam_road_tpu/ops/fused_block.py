@@ -1,32 +1,21 @@
-"""Fused windowed transformer block (Pallas, inference fast path).
+"""Window-layout Pallas attention kernels for the fused encoder path.
 
-The encoder's windowed blocks run matmuls at ~70% MFU but lose over half
-their wall time to HBM round-trips between ops (LN casts, qkv/out transposes,
-score materialization, GELU passes). One 14x14 window's entire block —
-LN1 -> fused qkv -> per-head rel-pos attention -> proj -> residual -> LN2 ->
-MLP -> residual — fits comfortably in VMEM (weights ~7 MB bf16 + activations
-~3 MB), so this kernel executes the whole block per window with HBM traffic
-of just x-in + x-out + (resident) weights.
-
-Padding semantics match the reference exactly: the reference zero-pads the
-NORM1 OUTPUT into windows (keys of padded slots are zeros). Here windows are
-cut from the raw x, so the kernel applies a per-row real-token mask right
-after LN1. Padded-row outputs are garbage and are dropped at unpartition,
-exactly like the reference discards them.
-
-Measured on v5e (ViT-B, 512px, B=32): fused encoder 191 ms vs 207 ms for the
-XLA path — the kernel eliminates between-op HBM traffic but its per-window
-matmuls (M=196) run below the MXU efficiency of XLA's all-window batching
-(M=56448), so the net gain is ~8%. Kept as an experimental inference path
-(models/fast_encoder.py) with full parity tests; not wired into the engine by
-default. Grouping several windows per program would restore matmul shape at
-the cost of VMEM pressure — candidate for a later round.
+The v3 ("token-tiled") encoder design (models/fast_encoder.py) keeps all
+per-token chains in token-tiled kernels (ops/fused_ln.py) and uses these
+kernels ONLY for what needs the window layout: windowed multi-head
+attention with SAM's decomposed relative-position bias, scores resident in
+VMEM. Production kernel: window_attention_rows (bias rows precomputed in
+XLA, spread in-kernel via static selector matmuls). The earlier
+whole-block-per-window kernel generations (v1/v2) were removed in round 3:
+per-window matmuls starved the MXU and grouped variants crashed the
+platform's AOT compile helper; window_attention_relpos_batched documents
+the intended batched-dot formulation that the same toolchain wall blocks
+(tools/repro_aot_crash.py).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -51,200 +40,6 @@ def _erf(x):
 
 def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
-
-
-def _block_kernel(num_heads: int, win: int, group: int,
-                  x_ref, mask_ref,
-                  n1s_ref, n1b_ref, qkvw_ref, qkvb_ref, rh_ref, rw_ref,
-                  pw_ref, pb_ref, n2s_ref, n2b_ref,
-                  w1_ref, b1_ref, w2_ref, b2_ref,
-                  o_ref):
-    N = win * win
-    C = x_ref.shape[-1]
-    head_dim = C // num_heads
-    scale = head_dim ** -0.5
-    eps = 1e-6
-    GN = group * N
-
-    x = x_ref[...].reshape(GN, C)  # group windows stacked along tokens
-    mask_flat = mask_ref[...].reshape(GN, 1)
-    xf = x.astype(jnp.float32)
-
-    # LayerNorm1 (per-token, f32) then real-token mask (reference zero-pads
-    # the norm1 output into windows)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    h = (xf - mu) * jax.lax.rsqrt(var + eps)
-    h = h * n1s_ref[:].astype(jnp.float32) + n1b_ref[:].astype(jnp.float32)
-    # `where`, not multiply: pad rows of x hold garbage when blocks chain in
-    # window layout, and 0 * garbage would propagate a hypothetical NaN.
-    h = jnp.where(mask_flat.astype(jnp.float32) > 0, h, 0.0).astype(x.dtype)
-
-    qkv = jnp.dot(h, qkvw_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + qkvb_ref[:].astype(jnp.float32)).astype(x.dtype)  # (N, 3C)
-
-    # Row-expanded rel-pos tables: RH_exp[(i,j), a, c] = Rh[i, a, c] and
-    # RW_exp[(i,j), b, c] = Rw[j, b, c] (precomputed outside). The bias then
-    # needs no 4D score views (Mosaic rejects lane-dim reshapes of the score
-    # matrix): bias rows come from VPU reductions and spread to the (N, N)
-    # key axis via static 0/1 selector matmuls.
-    rh_exp = rh_ref[:].astype(jnp.float32)  # (N, win, head_dim)
-    rw_exp = rw_ref[:].astype(jnp.float32)
-    # selectors: E[a, k] = 1 iff k // win == a ; F[b, k] = 1 iff k % win == b
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
-    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
-    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
-
-    group_outs = []
-    for g in range(group):
-        head_outs = []
-        for head in range(num_heads):
-            q = qkv[g * N:(g + 1) * N, head * head_dim:(head + 1) * head_dim]
-            k = qkv[g * N:(g + 1) * N,
-                    C + head * head_dim: C + (head + 1) * head_dim]
-            v = qkv[g * N:(g + 1) * N,
-                    2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            qf = q.astype(jnp.float32)
-            bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (N, win)
-            bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)  # (N, win)
-            s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
-            s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32)
-            head_outs.append(o)
-        group_outs.append(jnp.concatenate(head_outs, axis=-1))
-    out = jnp.concatenate(group_outs, axis=0)  # (GN, C) f32
-
-    proj = jnp.dot(out.astype(x.dtype), pw_ref[:],
-                   preferred_element_type=jnp.float32)
-    proj = proj + pb_ref[:].astype(jnp.float32)
-    x1 = xf + proj  # residual 1 (f32)
-
-    mu2 = jnp.mean(x1, axis=-1, keepdims=True)
-    var2 = jnp.mean((x1 - mu2) ** 2, axis=-1, keepdims=True)
-    h2 = (x1 - mu2) * jax.lax.rsqrt(var2 + eps)
-    h2 = h2 * n2s_ref[:].astype(jnp.float32) + n2b_ref[:].astype(jnp.float32)
-
-    mid = jnp.dot(h2.astype(x.dtype), w1_ref[:],
-                  preferred_element_type=jnp.float32)
-    mid = mid + b1_ref[:].astype(jnp.float32)
-    mid = _gelu_exact(mid)
-    mlp = jnp.dot(mid.astype(x.dtype), w2_ref[:],
-                  preferred_element_type=jnp.float32)
-    mlp = mlp + b2_ref[:].astype(jnp.float32)
-
-    o_ref[...] = (x1 + mlp).astype(x.dtype).reshape(group, N, C)
-
-
-def _attn_half_kernel(num_heads: int, win: int, group: int, npad: int,
-                      x_ref, mask_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref,
-                      rh_ref, rw_ref, pw_ref, pb_ref, o_ref):
-    """Attention half of a windowed block, `group` windows per program with
-    windows PADDED to npad tokens (a multiple of 8, so the (G, npad, C) ->
-    (G*npad, C) merge is a legal Mosaic reshape — at the raw 196 it is not).
-    LN1 -> mask -> fused qkv -> per-window rel-pos attention -> proj ->
-    residual. Extra pad tokens (196..npad) are masked out of the key axis;
-    their output rows are garbage and dropped at unpartition."""
-    N = win * win
-    C = x_ref.shape[-1]
-    head_dim = C // num_heads
-    scale = head_dim ** -0.5
-    GN = group * npad
-
-    x = x_ref[...].reshape(GN, C)
-    mask_flat = mask_ref[...].reshape(GN, 1)
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    h = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-    h = h * n1s_ref[:].astype(jnp.float32) + n1b_ref[:].astype(jnp.float32)
-    h = jnp.where(mask_flat.astype(jnp.float32) > 0, h, 0.0).astype(x.dtype)
-
-    qkv = jnp.dot(h, qkvw_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + qkvb_ref[:].astype(jnp.float32)).astype(x.dtype)  # (GN, 3C)
-
-    rh_exp = rh_ref[:].astype(jnp.float32)  # (npad, win, head_dim)
-    rw_exp = rw_ref[:].astype(jnp.float32)
-    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, npad), 0)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, npad), 1)
-    sel_h = ((k_idx // win == a_idx) & (k_idx < N)).astype(jnp.float32)
-    sel_w = ((k_idx % win == a_idx) & (k_idx < N)).astype(jnp.float32)
-    # non-semantic pad tokens must not participate as keys (the first N
-    # include SAM's semantic zero-padding, which must)
-    key_bias = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1) < N, 0.0, -1e30
-    )
-
-    group_outs = []
-    for g in range(group):
-        head_outs = []
-        for head in range(num_heads):
-            q = qkv[g * npad:(g + 1) * npad,
-                    head * head_dim:(head + 1) * head_dim]
-            k = qkv[g * npad:(g + 1) * npad,
-                    C + head * head_dim: C + (head + 1) * head_dim]
-            v = qkv[g * npad:(g + 1) * npad,
-                    2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            qf = q.astype(jnp.float32)
-            bh = jnp.sum(qf[:, None, :] * rh_exp, axis=-1)  # (npad, win)
-            bw = jnp.sum(qf[:, None, :] * rw_exp, axis=-1)
-            s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
-            s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
-            s = s + key_bias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            head_outs.append(
-                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-            )
-        group_outs.append(jnp.concatenate(head_outs, axis=-1))
-    out = jnp.concatenate(group_outs, axis=0)  # (GN, C) f32
-
-    proj = jnp.dot(out.astype(x.dtype), pw_ref[:],
-                   preferred_element_type=jnp.float32)
-    proj = proj + pb_ref[:].astype(jnp.float32)
-    o_ref[...] = (xf + proj).astype(o_ref.dtype).reshape(group, npad, C)
-
-
-def _mlp_half_kernel(group: int, npad: int, chunks: int,
-                     x_ref, n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                     o_ref):
-    """MLP half: LN2 -> lin1 -> exact gelu -> lin2 -> residual, with the
-    hidden dim processed in `chunks` column blocks so the f32 hidden
-    activation never exceeds the VMEM budget."""
-    C = x_ref.shape[-1]
-    GN = group * npad
-    hidden = w1_ref.shape[-1]
-    cs = hidden // chunks
-
-    x = x_ref[...].reshape(GN, C)
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    h2 = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-    h2 = (h2 * n2s_ref[:].astype(jnp.float32)
-          + n2b_ref[:].astype(jnp.float32)).astype(x.dtype)
-
-    acc = xf + b2_ref[:].astype(jnp.float32)
-    for c in range(chunks):
-        w1c = w1_ref[:, c * cs:(c + 1) * cs]
-        mid = jnp.dot(h2, w1c, preferred_element_type=jnp.float32)
-        mid = mid + b1_ref[c * cs:(c + 1) * cs].astype(jnp.float32)
-        mid = _gelu_exact(mid)
-        w2c = w2_ref[c * cs:(c + 1) * cs, :]
-        acc = acc + jnp.dot(mid.astype(x.dtype), w2c,
-                            preferred_element_type=jnp.float32)
-    o_ref[...] = acc.astype(o_ref.dtype).reshape(group, npad, C)
-
-
-def _round_up8(n: int) -> int:
-    return ((n + 7) // 8) * 8
 
 
 def _window_attn_kernel(num_heads: int, win: int, group: int, qkv_ref,
@@ -507,164 +302,3 @@ def window_attention_relpos(qkv_windows, rel_pos_h, rel_pos_w, win: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qkv_windows, rh.astype(dt), rw.astype(dt))
-
-
-def fused_window_block_v2(x_windows, mask, block_params, win: int,
-                          num_heads: int, interpret: bool = False,
-                          group_attn: int = 4, group_mlp: int = 2,
-                          mlp_chunks: int = 2):
-    """Two-kernel fused windowed block over PADDED windows.
-
-    Args:
-      x_windows: [nW, npad, C] window tokens padded to npad = round_up8(196)
-        (pad rows zero or garbage — they are masked before every attention
-        and dropped at unpartition).
-      mask: [nW, npad, 1], 1.0 only for REAL image tokens (the first
-        win*win rows contain SAM's semantic zero-pads, which keep mask 0 too
-        — identical to fused_window_block's contract).
-    Returns [nW, npad, C].
-    """
-    nW, npad, C = x_windows.shape
-    assert npad == _round_up8(win * win)
-    ga = group_attn if nW % group_attn == 0 else 1
-    gm = group_mlp if nW % group_mlp == 0 else 1
-    attn = block_params["attn"]
-    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
-    rh = jnp.asarray(attn["rel_pos_h"])[coords]  # (win, win, hd)
-    rw = jnp.asarray(attn["rel_pos_w"])[coords]
-    rh = jnp.repeat(rh, win, axis=0)  # (N, win, hd)
-    rw = jnp.tile(rw, (win, 1, 1))
-    pad_rows = npad - win * win
-    rh = jnp.pad(rh, ((0, pad_rows), (0, 0), (0, 0)))
-    rw = jnp.pad(rw, ((0, pad_rows), (0, 0), (0, 0)))
-
-    dt = x_windows.dtype
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                      memory_space=pltpu.VMEM)
-    hd = C // num_heads
-
-    x1 = pl.pallas_call(
-        functools.partial(_attn_half_kernel, num_heads, win, ga, npad),
-        out_shape=jax.ShapeDtypeStruct((nW, npad, C), dt),
-        grid=(nW // ga,),
-        in_specs=[
-            pl.BlockSpec((ga, npad, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ga, npad, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full((C,)), full((C,)),
-            full((C, 3 * C)), full((3 * C,)),
-            full((npad, win, hd)), full((npad, win, hd)),
-            full((C, C)), full((C,)),
-        ],
-        out_specs=pl.BlockSpec((ga, npad, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(
-        x_windows, mask.astype(dt),
-        block_params["norm1"]["scale"].astype(dt),
-        block_params["norm1"]["bias"].astype(dt),
-        attn["qkv"]["kernel"].astype(dt), attn["qkv"]["bias"].astype(dt),
-        rh.astype(dt), rw.astype(dt),
-        attn["proj"]["kernel"].astype(dt), attn["proj"]["bias"].astype(dt),
-    )
-
-    hidden = block_params["mlp_lin1"]["kernel"].shape[-1]
-    return pl.pallas_call(
-        functools.partial(_mlp_half_kernel, gm, npad, mlp_chunks),
-        out_shape=jax.ShapeDtypeStruct((nW, npad, C), dt),
-        grid=(nW // gm,),
-        in_specs=[
-            pl.BlockSpec((gm, npad, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full((C,)), full((C,)),
-            full((C, hidden)), full((hidden,)),
-            full((hidden, C)), full((C,)),
-        ],
-        out_specs=pl.BlockSpec((gm, npad, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(
-        x1,
-        block_params["norm2"]["scale"].astype(dt),
-        block_params["norm2"]["bias"].astype(dt),
-        block_params["mlp_lin1"]["kernel"].astype(dt),
-        block_params["mlp_lin1"]["bias"].astype(dt),
-        block_params["mlp_lin2"]["kernel"].astype(dt),
-        block_params["mlp_lin2"]["bias"].astype(dt),
-    )
-
-
-def fused_window_block(x_windows, mask, block_params, win: int,
-                       num_heads: int, interpret: bool = False,
-                       group: int = 1):
-    """Run one transformer block over pre-partitioned windows.
-
-    Args:
-      x_windows: [nW, win*win, C] raw (un-normed) window tokens.
-      mask: [nW, win*win, 1] 1.0 for real tokens, 0.0 for padding.
-      block_params: the standard Block param dict (norm1/attn/norm2/mlp_*).
-      win: window side (14).
-      group: windows per program — larger groups give the LN/qkv/proj/MLP
-        matmuls better MXU shapes (M = group*196) at the cost of VMEM.
-        NOTE: group > 1 currently compiles only in interpret mode — this
-        Mosaic version rejects the (G, N, C) -> (G*N, C) merge at N=196;
-        parity is tested, revisit when the lowering supports it.
-    Returns: [nW, win*win, C] block output (pad rows undefined).
-    """
-    nW, N, C = x_windows.shape
-    if nW % group != 0:
-        group = 1
-    attn = block_params["attn"]
-    # static rel-pos gather (win x win table from the (2*win-1, hd) params),
-    # row-expanded to (N, win, hd) so the kernel needs no lane reshapes
-    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
-    rh = jnp.asarray(attn["rel_pos_h"])[coords]  # (win, win, hd): [i, a, c]
-    rw = jnp.asarray(attn["rel_pos_w"])[coords]  # (win, win, hd): [j, b, c]
-    rh = jnp.repeat(rh, win, axis=0)             # row (i, j) -> Rh[i]
-    rw = jnp.tile(rw, (win, 1, 1))               # row (i, j) -> Rw[j]
-
-    kernel = functools.partial(_block_kernel, num_heads, win, group)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                      memory_space=pltpu.VMEM)
-    dt = x_windows.dtype
-    args = (
-        x_windows,
-        mask.astype(dt),
-        block_params["norm1"]["scale"].astype(dt),
-        block_params["norm1"]["bias"].astype(dt),
-        attn["qkv"]["kernel"].astype(dt),
-        attn["qkv"]["bias"].astype(dt),
-        rh.astype(dt),
-        rw.astype(dt),
-        attn["proj"]["kernel"].astype(dt),
-        attn["proj"]["bias"].astype(dt),
-        block_params["norm2"]["scale"].astype(dt),
-        block_params["norm2"]["bias"].astype(dt),
-        block_params["mlp_lin1"]["kernel"].astype(dt),
-        block_params["mlp_lin1"]["bias"].astype(dt),
-        block_params["mlp_lin2"]["kernel"].astype(dt),
-        block_params["mlp_lin2"]["bias"].astype(dt),
-    )
-    G = group
-    in_specs = [
-        pl.BlockSpec((G, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, N, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        full((C,)), full((C,)),
-        full((C, 3 * C)), full((3 * C,)),
-        full((win * win, win, C // num_heads)),
-        full((win * win, win, C // num_heads)),
-        full((C, C)), full((C,)),
-        full((C,)), full((C,)),
-        full((C, 4 * C)), full((4 * C,)),
-        full((4 * C, C)), full((C,)),
-    ]
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((nW, N, C), dt),
-        grid=(nW // G,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((G, N, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*args)

@@ -1,11 +1,9 @@
 """Fused-encoder variants on the real TPU (ViT-B, 512px, B=32, bf16).
 
-Compares the flax encoder against encoder_forward_fused with:
-  v1 group=1   (round-1 fused whole-block kernel)
-  v1 group=4   (newly-unlocked window grouping)
-  v2 ga4/gm2   (split attention/MLP kernels, padded grouped windows)
-  v2 ga8/gm4
-Each variant also checks numerical agreement with the flax output.
+Compares the flax encoder against the token-tiled fused encoder (v3 —
+the only kernel generation kept; v1/v2 per-window whole-block kernels
+were removed in round 3). Variants compile first, then time interleaved;
+each checks numerical agreement with the flax output via an L1 norm.
 """
 
 import json
@@ -104,23 +102,16 @@ def main(only=None):
     if wanted is None or "flax" in wanted:
         ref = timed(lambda p, x: enc.apply({"params": p}, x), "flax")
 
-    def fused(kernel_version, group=1, ga=4, gm=2):
+    def fused():
         def fn(p, x):
             return encoder_forward_fused(
                 p, x, sam_version="vit_b", img_size=512, window_size=14,
-                dtype=jnp.bfloat16, group=group, kernel_version=kernel_version,
-                group_attn=ga, group_mlp=gm,
+                dtype=jnp.bfloat16,
             )
         return fn
 
     for label, fn in [
-        ("v3", fused(3)),
-        ("v1_g1", fused(1, group=1)),
-        ("v1_g4", fused(1, group=4)),
-        ("v2_ga1_gm1", fused(2, ga=1, gm=1)),
-        ("v2_ga4_gm2", fused(2, ga=4, gm=2)),
-        ("v2_ga8_gm4", fused(2, ga=8, gm=4)),
-        ("v2_ga16_gm8", fused(2, ga=16, gm=8)),
+        ("v3", fused()),
     ]:
         if wanted is not None and label not in wanted:
             continue

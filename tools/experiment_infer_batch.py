@@ -25,7 +25,6 @@ def main(batch_sizes):
     from sam_road_tpu.models.sam_road import init_params
 
     fused = os.environ.get("FUSED", "0") == "1"
-    fused_ver = int(os.environ.get("FUSED_VER", "2"))
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(2048, 2048, 3), dtype=np.uint8)
     results = {}
@@ -37,7 +36,6 @@ def main(batch_sizes):
                 INFER_PATCHES_PER_EDGE=16, SAMPLE_MARGIN=64,
                 COMPUTE_DTYPE="bfloat16", TOPO_SAMPLE_NUM=512,
                 FUSED_ENCODER=fused,
-                FUSED_KERNEL_VERSION=fused_ver,
             )
         )
         if params is None:

@@ -36,7 +36,7 @@ def main(fused=1):
         DATASET="cityscale", PATCH_SIZE=512, INFER_BATCH_SIZE=32,
         INFER_PATCHES_PER_EDGE=16, SAMPLE_MARGIN=64,
         COMPUTE_DTYPE="bfloat16", TOPO_SAMPLE_NUM=512,
-        FUSED_ENCODER=bool(fused), FUSED_KERNEL_VERSION=3,
+        FUSED_ENCODER=bool(fused),
     ))
     params = init_params(cfg)
     eng = TiledInferenceEngine(cfg, params)
