@@ -4,9 +4,11 @@ Builds a small spacenet-format fixture (street-grid GT graphs rendered into
 the imagery), trains SAMRoad-tiny from random init, calibrates thresholds,
 runs tiled region inference, and scores the predicted graphs with APLS/TOPO.
 
-Last recorded run (single TPU v5e, 4 epochs x 150 steps, ~10 min):
-  val: road_iou 0.979, keypoint_iou 0.560, topo_f1 1.0
-  held-out tile: APLS 0.971, TOPO P 1.000 / R 0.989 / F1 0.994
+Recorded runs (single TPU v5e, 4 epochs x 150 steps, ~10 min each):
+  round 2: val road_iou 0.979 / topo_f1 1.0; APLS 0.971, TOPO F1 0.994
+  round 3 (weighted eval + fused-engine kernels): val road_iou 0.975 /
+  topo_f1 1.0; APLS 0.922, TOPO P 0.957 / R 0.984 / F1 0.971
+  (run-to-run spread of a 10-minute random-init training)
 
 Usage:  python examples/end_to_end_synthetic.py [workdir]
 """
