@@ -147,11 +147,22 @@ def main(which="all"):
         def heads_split(t):
             return t.reshape(nW, N, heads, hd).transpose(0, 2, 1, 3)
 
-        # (batched-dot_general variant crashes the platform AOT helper —
-        # tools/repro_aot_crash.py; grouped per-head programs instead)
-        for g in (2, 4):
-            timed(f"pl_window_attn_g{g}",
-                  lambda qkv, rh, rw, gg=g: pl_wattn(qkv, rh, rw, group=gg),
+        # production kernel: precomputed bias rows (XLA einsum) + in-kernel
+        # selector spread; sweep windows-per-program
+        from sam_road_tpu.ops.fused_block import window_attention_rows
+        from sam_road_tpu.models.vit import _get_rel_pos_table as _grt
+
+        def pl_rows(qkv, rh, rw, group=1):
+            q = qkv[..., :C].reshape(nW, win, win, heads, hd)
+            Rh = jnp.asarray(rh)[np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1].astype(DT)
+            Rw = jnp.asarray(rw)[np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1].astype(DT)
+            bh = jnp.einsum("wijhc,iac->whija", q.astype(DT), Rh).reshape(nW, heads, N, win)
+            bw = jnp.einsum("wijhc,jac->whija", q.astype(DT), Rw).reshape(nW, heads, N, win)
+            return window_attention_rows(qkv, bh, bw, win, heads, group=group)
+
+        for g in (1, 2, 4):
+            timed(f"pl_rows_g{g}",
+                  lambda qkv, rh, rw, gg=g: pl_rows(qkv, rh, rw, group=gg),
                   qkv, rh, rw)
 
         def xla_textbook(qkv, rh, rw):
