@@ -83,6 +83,17 @@ class TiledInferenceEngine:
                 self.model.spec.lora_rank == 0, (
                     "FUSED_ENCODER supports the naive decoder without LoRA"
                 )
+            if jax.default_backend() != "tpu" and self.patch_size >= 256:
+                # interpret-mode Pallas at production geometry is
+                # pathologically slow; tiny-model CPU tests keep the fused
+                # path (they exercise the kernels), real models fall back
+                print(
+                    "FUSED_ENCODER disabled: non-TPU backend at "
+                    f"PATCH_SIZE {self.patch_size} would run interpret-mode "
+                    "kernels; using the flax encoder",
+                    flush=True,
+                )
+                self._fused_encoder = False
         if self.n_shards > 1:
             assert self.batch_size % self.n_shards == 0, (
                 f"INFER_BATCH_SIZE {self.batch_size} must divide by mesh size "
