@@ -23,8 +23,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table
-from sam_road_tpu.ops.attention import attention_relpos_rows
+from sam_road_tpu.models.vit import ENCODER_SPECS, _get_rel_pos_table, fold_rel_pos_qk
+from sam_road_tpu.ops.attention import (
+    _VMEM_BUDGET_BYTES,
+    _whole_bytes,
+    attention_relpos_rows,
+    fused_attention,
+)
 from sam_road_tpu.ops.fused_block import window_attention_rows
 from sam_road_tpu.ops.fused_ln import ln_dense, ln_mlp_residual
 
@@ -125,12 +130,21 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
     q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
     Rh = _get_rel_pos_table(H, attn["rel_pos_h"]).astype(dtype)
     Rw = _get_rel_pos_table(W, attn["rel_pos_w"]).astype(dtype)
-    r_q = q.reshape(B, num_heads, H, W, head_dim)
-    bh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
-        B, num_heads, H * W, H)
-    bw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
-        B, num_heads, H * W, W)
-    out = attention_relpos_rows(q * scale, k, v, bh, bw, (H, W), interp)
+    N = H * W
+    if _whole_bytes(N, head_dim, head_dim, q.dtype.itemsize) <= \
+            _VMEM_BUDGET_BYTES:
+        # whole-N rows kernel: scores resident in VMEM (512px grids)
+        r_q = q.reshape(B, num_heads, H, W, head_dim)
+        bh = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh).reshape(
+            B, num_heads, N, H)
+        bw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
+            B, num_heads, N, W)
+        out = attention_relpos_rows(q * scale, k, v, bh, bw, (H, W), interp)
+    else:
+        # large grids (1024px+: 4096-token scores would blow VMEM): folded
+        # rel-pos + the kv-tiled blocked flash kernel (ops/attention.py)
+        q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
+        out = fused_attention(q_aug, k_aug, v, interp)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
     out = out @ attn["proj"]["kernel"].astype(dtype)
     x1 = x + (out + attn["proj"]["bias"].astype(dtype))

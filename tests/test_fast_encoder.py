@@ -93,3 +93,37 @@ def test_engine_fused_encoder_path_matches_default():
     assert np.abs(kp0.astype(int) - kp1.astype(int)).max() <= 1
     assert np.abs(road0.astype(int) - road1.astype(int)).max() <= 1
     assert abs(nodes0.shape[0] - nodes1.shape[0]) <= 2
+
+
+def test_fast_encoder_large_grid_global_fallback():
+    """At grids whose global-attention scores exceed the whole-N VMEM
+    budget (N > ~1225), _global_block_v3 must dispatch to the folded
+    rel-pos + blocked/XLA attention path — the 1024px config's geometry.
+    vit_t at 576px (N=1296) crosses the threshold cheaply on CPU."""
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=576, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=4, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(1, 576, 576, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(14).normal(size=p.shape).astype(p.dtype),
+        jax.tree.map(np.asarray, params),
+    )
+    from sam_road_tpu.ops.attention import _VMEM_BUDGET_BYTES, _whole_bytes
+
+    n = (576 // 16) ** 2
+    hd = spec["embed_dim"] // spec["num_heads"]
+    assert _whole_bytes(n, hd, hd, 4) > _VMEM_BUDGET_BYTES  # fallback engaged
+    want = np.asarray(enc.apply({"params": params}, jnp.asarray(x)))
+    got = np.asarray(
+        encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=576,
+            window_size=4, dtype=jnp.float32, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
