@@ -157,3 +157,35 @@ def test_window_attention_batched_matches_oracle_math():
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
             err_msg=f"group={group}",
         )
+
+
+def test_window_attention_rows_matches_relpos_kernel():
+    """The production rows kernel (precomputed bias rows) must equal the
+    in-kernel-reduce reference kernel exactly, for any group size."""
+    from sam_road_tpu.ops.fused_block import (
+        window_attention_relpos,
+        window_attention_rows,
+    )
+
+    win, heads, hd, nW = 4, 2, 8, 6
+    N = win * win
+    C = heads * hd
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(nW, N, 3 * C)), jnp.float32)
+    rh = jnp.asarray(rng.normal(size=(2 * win - 1, hd)) * 0.1, jnp.float32)
+    rw = jnp.asarray(rng.normal(size=(2 * win - 1, hd)) * 0.1, jnp.float32)
+    want = window_attention_relpos(qkv, rh, rw, win, heads, interpret=True)
+
+    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
+    Rh = jnp.asarray(rh)[coords]
+    Rw = jnp.asarray(rw)[coords]
+    q = qkv[..., :C].reshape(nW, win, win, heads, hd)
+    bh = jnp.einsum("wijhc,iac->whija", q, Rh).reshape(nW, heads, N, win)
+    bw = jnp.einsum("wijhc,jac->whija", q, Rw).reshape(nW, heads, N, win)
+    for group in (1, 2, 3):
+        got = window_attention_rows(qkv, bh, bw, win, heads, interpret=True,
+                                    group=group)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+            err_msg=f"group={group}",
+        )
