@@ -164,16 +164,19 @@ def _relpos_rows_kernel(n_h: int, n_w: int, q_ref, k_ref, v_ref, bh_ref,
     k = k_ref[0]
     N = q.shape[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    # both bias spreads in ONE matmul: stacked selectors (n_h + n_w, N)
     a_idx = jax.lax.broadcasted_iota(jnp.int32, (n_h, N), 0)
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (n_h, N), 1)
     sel_h = (k_idx // n_w == a_idx).astype(jnp.float32)
     a_idx2 = jax.lax.broadcasted_iota(jnp.int32, (n_w, N), 0)
     k_idx2 = jax.lax.broadcasted_iota(jnp.int32, (n_w, N), 1)
     sel_w = (k_idx2 % n_w == a_idx2).astype(jnp.float32)
-    s = s + jnp.dot(bh_ref[0].astype(jnp.float32), sel_h,
-                    preferred_element_type=jnp.float32)
-    s = s + jnp.dot(bw_ref[0].astype(jnp.float32), sel_w,
-                    preferred_element_type=jnp.float32)
+    sel = jnp.concatenate([sel_h, sel_w], axis=0)  # (n_h + n_w, N)
+    bhw = jnp.concatenate(
+        [bh_ref[0].astype(jnp.float32), bw_ref[0].astype(jnp.float32)],
+        axis=-1,
+    )  # (N, n_h + n_w)
+    s = s + jnp.dot(bhw, sel, preferred_element_type=jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)

@@ -103,6 +103,7 @@ def _window_attn_rows_kernel(num_heads: int, win: int, group: int, qkv_ref,
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
     sel_h = (k_idx // win == a_idx).astype(jnp.float32)
     sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+    sel = jnp.concatenate([sel_h, sel_w], axis=0)  # (2*win, N)
 
     for g in range(group):
         qkv = qkv_ref[g]  # (N, 3C)
@@ -114,10 +115,12 @@ def _window_attn_rows_kernel(num_heads: int, win: int, group: int, qkv_ref,
             k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
             v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            s = s + jnp.dot(bh[head].astype(jnp.float32), sel_h,
-                            preferred_element_type=jnp.float32)
-            s = s + jnp.dot(bw[head].astype(jnp.float32), sel_w,
-                            preferred_element_type=jnp.float32)
+            # both bias spreads in ONE matmul against stacked selectors
+            bhw = jnp.concatenate(
+                [bh[head].astype(jnp.float32), bw[head].astype(jnp.float32)],
+                axis=-1,
+            )  # (N, 2*win)
+            s = s + jnp.dot(bhw, sel, preferred_element_type=jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
