@@ -419,15 +419,23 @@ class TiledInferenceEngine:
         self._sharded_cache[key] = fn
         return fn
 
-    def _phase2_impl(self, params, feats, points, pairs, valid):
+    def _phase2_impl(self, params, feats, points, tgt, valid_packed):
         if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
             feats = feats.reshape((-1,) + feats.shape[2:])
         # compact host->device transport (uint16 coords are exact for pixel
-        # grids <= 65k; int16 pair indices cover the <=32k point buckets):
-        # at ~100 MB/s link, phase-2 arg bytes are a measurable slice of the
-        # region time. Decode on device.
+        # grids <= 65k; int16 pair indices cover the <=32k point buckets;
+        # pair SRC indices are always the row index so only tgt is shipped;
+        # validity crosses as packed bits, 8x fewer bytes): at ~100 MB/s —
+        # or a degraded-window ~40 MB/s — link, phase-2 arg bytes are a
+        # measurable slice of the region time. Decode on device.
         points = points.astype(jnp.float32)
-        pairs = pairs.astype(jnp.int32)
+        B, S, max_nbr = tgt.shape
+        src = jax.lax.broadcasted_iota(jnp.int32, (B, S, max_nbr), 1)
+        pairs = jnp.stack([src, tgt.astype(jnp.int32)], axis=-1)
+        # unpack bits (big-endian within each byte, np.packbits layout)
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (valid_packed[..., None] >> shifts) & jnp.uint8(1)
+        valid = bits.reshape(B, S, -1)[..., :max_nbr].astype(bool)
         return self.model.apply(
             {"params": params},
             feats,
@@ -592,24 +600,27 @@ class TiledInferenceEngine:
                 continue
             # pad to shape bucket to bound recompiles; compact dtypes (the
             # jitted phase-2 decodes): uint16 coords exact for <=65k-px
-            # regions, int16 pair indices cover <=32k-point buckets
+            # regions, int16 TGT indices cover <=32k-point buckets (src is
+            # always the row index — rebuilt on device), validity packed
+            # to bits
             S = _bucket_size(max_pts, self.point_bucket)
             assert S < 32768, "point bucket exceeds int16 pair index range"
             bpoints = np.zeros((B, S, 2), np.uint16)
-            bpairs = np.zeros((B, S, max_nbr, 2), np.int16)
+            btgt = np.zeros((B, S, max_nbr), np.int16)
             bvalid = np.zeros((B, S, max_nbr), bool)
             for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
                 n = pts.shape[0]
                 bpoints[i, :n] = pts
-                bpairs[i, :n] = pairs
+                btgt[i, :n] = pairs[..., 1]
                 bvalid[i, :n] = valid
+            bvalid_packed = np.packbits(bvalid, axis=-1)
 
             # dispatch only (async) — fetching here would serialize host
             # pair-building with device scoring. Sharded feats arrive as
             # [n, b, h, w, C] and merge to the batch axis inside the jit.
             scores_dev = self._phase2(
                 self.params, feats_b, put_batch(bpoints),
-                put_batch(bpairs), put_batch(bvalid),
+                put_batch(btgt), put_batch(bvalid_packed),
             )
             pending.append((scores_dev, per_patch))
 
