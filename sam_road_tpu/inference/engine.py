@@ -579,9 +579,11 @@ class TiledInferenceEngine:
         radius = float(cfg.NEIGHBOR_RADIUS)
         all_src, all_tgt, all_score = [], [], []
         pending = []  # (device scores, per_patch metadata) per batch
+        fine = {"p2_build": 0.0, "p2_dispatch": 0.0, "p2_fetch": 0.0}
         from sam_road_tpu.inference.pairs import build_pairs_for_boxes
 
         for feats_b, info in batches:
+            tloop = time.time()
             # one native call per batch: box gather + kNN + pair layout for
             # every patch (None slots from the sharded band layout become
             # degenerate boxes -> empties)
@@ -597,6 +599,7 @@ class TiledInferenceEngine:
             max_pts = max(p[1].shape[0] for p in per_patch)
 
             if max_pts == 0:
+                fine["p2_build"] += time.time() - tloop
                 continue
             # pad to shape bucket to bound recompiles; compact dtypes (the
             # jitted phase-2 decodes): uint16 coords exact for <=65k-px
@@ -614,14 +617,17 @@ class TiledInferenceEngine:
                 btgt[i, :n] = pairs[..., 1]
                 bvalid[i, :n] = valid
             bvalid_packed = np.packbits(bvalid, axis=-1)
+            fine["p2_build"] += time.time() - tloop
 
             # dispatch only (async) — fetching here would serialize host
             # pair-building with device scoring. Sharded feats arrive as
             # [n, b, h, w, C] and merge to the batch axis inside the jit.
+            tdisp = time.time()
             scores_dev = self._phase2(
                 self.params, feats_b, put_batch(bpoints),
                 put_batch(btgt), put_batch(bvalid_packed),
             )
+            fine["p2_dispatch"] += time.time() - tdisp
             pending.append((scores_dev, per_patch))
 
         # Fetch pending scores with ONE host transfer per distinct shape
@@ -632,6 +638,7 @@ class TiledInferenceEngine:
         # before it leaves the device — the power-of-two shape buckets
         # exist for compile reuse, but their padding (often 2-4x the real
         # points) need not cross the ~100 MB/s link.
+        tfetch = time.time()
         by_shape: dict = {}
         for bi, (scores_dev, _) in enumerate(pending):
             by_shape.setdefault(scores_dev.shape, []).append(bi)
@@ -647,6 +654,7 @@ class TiledInferenceEngine:
             )
             for j, bi in enumerate(idxs):
                 fetched[bi] = stacked[j]
+        fine["p2_fetch"] = time.time() - tfetch
 
         for bi, (scores_dev, per_patch) in enumerate(pending):
             scores = np.nan_to_num(fetched[bi], nan=-100.0)[..., 0]
@@ -689,6 +697,7 @@ class TiledInferenceEngine:
             "extract": t2 - t1,
             "phase2": t3 - t2,
             "total": time.time() - t0,
+            **{k: round(v, 4) for k, v in fine.items()},
         }
         return pred_nodes, pred_edges, fused_keypoint_mask, fused_road_mask
 
