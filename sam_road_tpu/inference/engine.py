@@ -436,7 +436,7 @@ class TiledInferenceEngine:
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         bits = (valid_packed[..., None] >> shifts) & jnp.uint8(1)
         valid = bits.reshape(B, S, -1)[..., :max_nbr].astype(bool)
-        return self.model.apply(
+        scores = self.model.apply(
             {"params": params},
             feats,
             points,
@@ -444,6 +444,14 @@ class TiledInferenceEngine:
             valid,
             method=SAMRoad.infer_toponet,
         )
+        # compact device->host transport: scores are sigmoid probabilities in
+        # [0, 1]; int16 fixed-point (1/32767 steps, 3e-5 — an order below the
+        # reference's own fp16 inference noise) cuts fetch bytes 4x vs fp32.
+        # The reference's nan->-100 poisoning (inferencer.py:206) is kept via
+        # a -32768 sentinel decoded on host.
+        s = scores.astype(jnp.float32)
+        q = jnp.round(jnp.clip(s, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        return jnp.where(jnp.isnan(s), jnp.int16(-(2 ** 15)), q)
 
     # NOTE: a scanned all-batches phase 2 was measured SLOWER than per-batch
     # async dispatch (region-max padding + loss of host/device overlap), so
@@ -657,7 +665,9 @@ class TiledInferenceEngine:
         fine["p2_fetch"] = time.time() - tfetch
 
         for bi, (scores_dev, per_patch) in enumerate(pending):
-            scores = np.nan_to_num(fetched[bi], nan=-100.0)[..., 0]
+            q = fetched[bi]
+            scores = q.astype(np.float32) / 32767.0
+            scores = np.where(q == -(2 ** 15), -100.0, scores)[..., 0]
             # vectorized edge-score accumulation over valid entries
             for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
                 n = pts.shape[0]
