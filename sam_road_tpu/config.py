@@ -99,6 +99,12 @@ DEFAULTS: dict = {
     # no LoRA); kernel version 2 = split attention/MLP grouped-window kernels
     "FLASH_ATTENTION": True,  # False: plain XLA attention everywhere
     "INFER_UPLOAD_BANDS": 1,  # >1: sliced region uploads overlap band i+1 transfer with band i compute
+    # Streamed single-chip phase 1: two column-band dispatches with DISJOINT
+    # slab uploads (slab B streams over the link while band A computes) and
+    # early fetch of band A's finalized mask columns during band B's compute.
+    # Bit-identical masks (int32 fixed-point accumulation); falls back to the
+    # whole-region single dispatch when no batch-aligned column split exists.
+    "INFER_STREAM_PHASE1": True,
     "FUSED_ENCODER": False,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts

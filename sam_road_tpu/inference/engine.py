@@ -419,6 +419,135 @@ class TiledInferenceEngine:
         self._sharded_cache[key] = fn
         return fn
 
+    # ---------- streamed phase 1 (two column-band dispatches) ----------
+
+    def _stream_split(self, all_patch_info, image_size):
+        """Plan the 2-dispatch streamed phase 1: split the patch grid at an
+        x-column boundary (patch order is x-outer, partitions.py:44-46) so
+        each half is whole batches. Returns (nA, W_band) — patches in band A
+        and the shared band width — or None when no eligible split exists."""
+        B = self.batch_size
+        p = self.patch_size
+        n = len(all_patch_info)
+        if n % B or n <= B:
+            return None
+        xs = sorted({info[1][0] for info in all_patch_info})
+        if len(xs) < 2 or n % len(xs):
+            return None
+        per_col = n // len(xs)
+        best = None
+        for k in range(1, len(xs)):
+            if (k * per_col) % B:
+                continue
+            if best is None or abs(k - len(xs) / 2) < abs(best - len(xs) / 2):
+                best = k
+        if best is None:
+            return None
+        nA = best * per_col
+        width_a = max(info[1][0] for info in all_patch_info[:nA]) + p
+        x_min_b = min(info[1][0] for info in all_patch_info[nA:])
+        w_band = max(width_a, image_size - x_min_b)
+        if w_band >= image_size:
+            return None  # bands would cover everything: no streaming benefit
+        return nA, w_band
+
+    def _get_stream_progs(self, image_size, w_band, rounds_a, rounds_b):
+        """Memoized jitted programs for the streamed phase 1.
+
+        Band A = global cols [0, w_band); band B = [c, image_size) with
+        c = image_size - w_band. Patches left of the split never write cols
+        >= w_band and patches right of it never write cols < c, so after
+        band A the cols [0, c) are FINAL (fetched while band B computes) and
+        band B — seeded with A's accumulator over the overlap [c, w_band) —
+        finalizes the rest. Integer accumulation keeps the result
+        bit-identical to the whole-region dispatch."""
+        key = ("stream", image_size, w_band, rounds_a, rounds_b)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+        H = image_size
+        c = image_size - w_band
+        carry_w = w_band - c
+
+        def scan_band(params, band_img, x0s, y0s, w, fused0, cnt0):
+            def step(carry, xyw):
+                fused, cnt = carry
+                bx, by, bw = xyw
+                feats, fused, cnt = self._phase1_impl(
+                    params, band_img, bx, by, fused, cnt, bw
+                )
+                return (fused, cnt), feats
+
+            (fused, cnt), feats = jax.lax.scan(
+                step, (fused0, cnt0), (x0s, y0s, w)
+            )
+            return feats, fused, cnt
+
+        def prog_a(params, slab_a, x0s, y0s, w):
+            fused0 = jnp.zeros((H, w_band, 2), jnp.int32)
+            cnt0 = jnp.zeros((H, w_band), jnp.int32)
+            return scan_band(params, slab_a, x0s, y0s, w, fused0, cnt0)
+
+        def fin_a(fused, cnt):
+            # cols [0, c): band B never writes there — final after band A
+            return self._finalize_impl(fused[:, :c], cnt[:, :c])
+
+        def prog_b(params, slab_a, slab_b, x0s, y0s, w, prev_f, prev_c):
+            # assemble this band's pixels on DEVICE from the two disjoint
+            # uploads (slab_b crossed the link during band A's compute)
+            band_img = jnp.concatenate([slab_a[:, c:], slab_b], axis=1)
+            fused0 = jnp.zeros((H, w_band, 2), jnp.int32)
+            cnt0 = jnp.zeros((H, w_band), jnp.int32)
+            fused0 = fused0.at[:, :carry_w].set(prev_f[:, c:])
+            cnt0 = cnt0.at[:, :carry_w].set(prev_c[:, c:])
+            feats, fused, cnt = scan_band(
+                params, band_img, x0s, y0s, w, fused0, cnt0
+            )
+            return feats, self._finalize_impl(fused, cnt)
+
+        progs = (jax.jit(prog_a), jax.jit(fin_a), jax.jit(prog_b))
+        self._sharded_cache[key] = progs
+        return progs
+
+    def _phase1_streamed(self, img, all_patch_info, nA, w_band):
+        """Host half of the streamed phase 1: two disjoint column-slab
+        uploads, two band dispatches, early mask fetch. The whole-region path
+        serializes [upload 12.6 MB][compute][download 8 MB] over the host
+        link; here slab B's upload rides under band A's compute and ~half the
+        mask download rides under band B's."""
+        B = self.batch_size
+        c = img.shape[0] - w_band
+        prog_a, fin_a, prog_b = self._get_stream_progs(
+            img.shape[0], w_band, nA // B, (len(all_patch_info) - nA) // B
+        )
+        slab_a = jax.device_put(np.ascontiguousarray(img[:, :w_band]))
+        slab_b = jax.device_put(np.ascontiguousarray(img[:, w_band:]))
+
+        def coords(info_slice, x_off):
+            r = len(info_slice) // B
+            x0s = np.zeros((r, B), np.int32)
+            y0s = np.zeros((r, B), np.int32)
+            for j, (_, (x0, y0), _) in enumerate(info_slice):
+                x0s[j // B, j % B] = x0 - x_off
+                y0s[j // B, j % B] = y0
+            w = np.ones((r, B), np.int32)
+            return jnp.asarray(x0s), jnp.asarray(y0s), jnp.asarray(w)
+
+        xa, ya, wa = coords(all_patch_info[:nA], 0)
+        xb, yb, wb = coords(all_patch_info[nA:], c)
+        feats_a, fused_a, cnt_a = prog_a(self.params, slab_a, xa, ya, wa)
+        mask_a = fin_a(fused_a, cnt_a)
+        feats_b, mask_b = prog_b(
+            self.params, slab_a, slab_b, xb, yb, wb, fused_a, cnt_a
+        )
+        batches = [
+            (feats_a[r], list(all_patch_info[r * B : (r + 1) * B]))
+            for r in range(feats_a.shape[0])
+        ] + [
+            (feats_b[r], list(all_patch_info[nA + r * B : nA + (r + 1) * B]))
+            for r in range(feats_b.shape[0])
+        ]
+        return batches, ("stream", mask_a, mask_b)
+
     def _phase2_impl(self, params, feats, points, tgt, valid_packed):
         if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
             feats = feats.reshape((-1,) + feats.shape[2:])
@@ -524,6 +653,15 @@ class TiledInferenceEngine:
                             if j < len(per_dev[d]) else None
                         )
                 batches.append((feats[:, r], info))
+        elif (
+            bool(cfg.INFER_STREAM_PHASE1)
+            and patch_num > B
+            and (split := self._stream_split(all_patch_info, image_size))
+            is not None
+        ):
+            batches, masks_dev = self._phase1_streamed(
+                img, all_patch_info, split[0], split[1]
+            )
         elif int(cfg.INFER_UPLOAD_BANDS or 1) > 1 and patch_num > B:
             batches, masks_dev = self._phase1_banded_upload(
                 img, all_patch_info, int(cfg.INFER_UPLOAD_BANDS)
@@ -565,7 +703,14 @@ class TiledInferenceEngine:
         put_batch = p1["put_batch"]
         B = self.batch_size
 
-        masks_u8 = np.asarray(p1["masks_dev"])  # sync point
+        md = p1["masks_dev"]
+        if isinstance(md, tuple) and md[0] == "stream":
+            # band A's finalized columns transfer while band B computes
+            masks_u8 = np.concatenate(
+                [np.asarray(md[1]), np.asarray(md[2])], axis=1
+            )
+        else:
+            masks_u8 = np.asarray(md)  # sync point
         fused_keypoint_mask = np.ascontiguousarray(masks_u8[..., 0])
         fused_road_mask = np.ascontiguousarray(masks_u8[..., 1])
         t1 = time.time()

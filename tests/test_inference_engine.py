@@ -147,10 +147,49 @@ def test_banded_upload_bit_identical(tiny_setup):
         "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
         "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
         "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
-        "MAX_NEIGHBOR_QUERIES")}, "INFER_UPLOAD_BANDS": 2})
+        "MAX_NEIGHBOR_QUERIES")}, "INFER_UPLOAD_BANDS": 2,
+        "INFER_STREAM_PHASE1": False})
     banded = TiledInferenceEngine(cfg_b, params, point_bucket=16)
     n1, e1, kp1, rd1 = banded.infer_one_img(img)
 
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(rd0, rd1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
+
+
+def test_streamed_phase1_bit_identical(tiny_setup):
+    """The streamed two-dispatch phase 1 (disjoint column-slab uploads,
+    early mask fetch) must be BIT-identical to the whole-region single
+    dispatch: same int32 fixed-point sums, just split at a column
+    boundary."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
+    shared = {k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}
+    whole = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_STREAM_PHASE1": False}),
+        params, point_bucket=16,
+    )
+    streamed = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_STREAM_PHASE1": True}),
+        params, point_bucket=16,
+    )
+    # the tiny grid must actually take the streamed path
+    info = __import__(
+        "sam_road_tpu.data.partitions", fromlist=["get_patch_info_one_img"]
+    ).get_patch_info_one_img(
+        0, 192, cfg.SAMPLE_MARGIN, cfg.PATCH_SIZE, cfg.INFER_PATCHES_PER_EDGE
+    )
+    assert streamed._stream_split(info, 192) is not None
+
+    n0, e0, kp0, rd0 = whole.infer_one_img(img)
+    n1, e1, kp1, rd1 = streamed.infer_one_img(img)
     np.testing.assert_array_equal(kp0, kp1)
     np.testing.assert_array_equal(rd0, rd1)
     np.testing.assert_array_equal(n0, n1)
