@@ -582,9 +582,15 @@ class TiledInferenceEngine:
         q = jnp.round(jnp.clip(s, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return jnp.where(jnp.isnan(s), jnp.int16(-(2 ** 15)), q)
 
-    # NOTE: a scanned all-batches phase 2 was measured SLOWER than per-batch
-    # async dispatch (region-max padding + loss of host/device overlap), so
-    # phase 2 intentionally stays per-batch.
+    # NOTE: phase 2 intentionally stays per-batch. Two all-batches
+    # variants measured SLOWER on the chip: (1) a scanned all-batches
+    # phase 2 (region-max padding + loss of host/device overlap); (2) a
+    # flat single-dispatch batch over all patches (one launch, one arg
+    # upload, one fetch — round-3 paired A/B: region 2.19 s median vs
+    # 1.95 s per-batch, +0.25 s EVERY round; the 8x-larger TopoNet batch
+    # and region-max point bucket cost more than the saved link RPCs,
+    # and the shared bucket even perturbs edge counts at bf16 epsilon).
+    # See docs/DESIGN.md "Phase-2 dispatch granularity".
 
     # ---------- host orchestration ----------
 
@@ -807,7 +813,7 @@ class TiledInferenceEngine:
             )
             for j, bi in enumerate(idxs):
                 fetched[bi] = stacked[j]
-        fine["p2_fetch"] = time.time() - tfetch
+        fine["p2_fetch"] += time.time() - tfetch
 
         for bi, (scores_dev, per_patch) in enumerate(pending):
             q = fetched[bi]
