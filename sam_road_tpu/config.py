@@ -105,6 +105,10 @@ DEFAULTS: dict = {
     # Bit-identical masks (int32 fixed-point accumulation); falls back to the
     # whole-region single dispatch when no batch-aligned column split exists.
     "INFER_STREAM_PHASE1": True,
+    # streamed phase-1 column bands: more bands shrink the serialized first
+    # slab upload + last mask-chunk fetch (bit-identical at any count);
+    # paired TPU A/B: 4 beat 2 every round, median +0.12 s/region
+    "INFER_STREAM_BANDS": 4,
     "FUSED_ENCODER": False,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts

@@ -419,13 +419,17 @@ class TiledInferenceEngine:
         self._sharded_cache[key] = fn
         return fn
 
-    # ---------- streamed phase 1 (two column-band dispatches) ----------
+    # ---------- streamed phase 1 (k column-band dispatches) ----------
 
-    def _stream_split(self, all_patch_info, image_size):
-        """Plan the 2-dispatch streamed phase 1: split the patch grid at an
-        x-column boundary (patch order is x-outer, partitions.py:44-46) so
-        each half is whole batches. Returns (nA, W_band) — patches in band A
-        and the shared band width — or None when no eligible split exists."""
+    def _stream_plan(self, all_patch_info, image_size, n_bands=2):
+        """Plan the k-band streamed phase 1: split the patch grid at
+        x-column boundaries (patch order is x-outer, partitions.py:44-46)
+        so every band is whole batches. Returns a list of per-band dicts
+        {i0, i1, a, e} — patch index range, buffer anchor column, buffer end
+        column — or None when no eligible split exists. Buffer spans:
+        band 0 anchors at 0 (so the left margin finalizes with it), band i
+        at its leftmost patch origin; band ends at its rightmost patch's
+        right edge (last band: the image edge, covering the right margin)."""
         B = self.batch_size
         p = self.patch_size
         n = len(all_patch_info)
@@ -435,40 +439,58 @@ class TiledInferenceEngine:
         if len(xs) < 2 or n % len(xs):
             return None
         per_col = n // len(xs)
-        best = None
-        for k in range(1, len(xs)):
-            if (k * per_col) % B:
-                continue
-            if best is None or abs(k - len(xs) / 2) < abs(best - len(xs) / 2):
-                best = k
-        if best is None:
+        elig = [c for c in range(1, len(xs)) if (c * per_col) % B == 0]
+        if not elig:
             return None
-        nA = best * per_col
-        width_a = max(info[1][0] for info in all_patch_info[:nA]) + p
-        x_min_b = min(info[1][0] for info in all_patch_info[nA:])
-        w_band = max(width_a, image_size - x_min_b)
-        if w_band >= image_size:
-            return None  # bands would cover everything: no streaming benefit
-        return nA, w_band
+        k = max(2, min(int(n_bands), len(elig) + 1))
+        splits: list = []
+        for j in range(1, k):
+            cands = [c for c in elig if c not in splits]
+            if not cands:
+                break
+            target = j * len(xs) / k
+            splits.append(min(cands, key=lambda c: abs(c - target)))
+        bounds = [0] + sorted(splits) + [len(xs)]
+        bands = []
+        for i in range(len(bounds) - 1):
+            lo_col, hi_col = bounds[i], bounds[i + 1]
+            a = 0 if i == 0 else xs[lo_col]
+            e = (
+                image_size
+                if hi_col == len(xs)
+                else min(xs[hi_col - 1] + p, image_size)
+            )
+            bands.append(
+                dict(i0=lo_col * per_col, i1=hi_col * per_col, a=a, e=e)
+            )
+        if bands[0]["e"] >= image_size:
+            return None  # first band covers everything: nothing to stream
+        return bands
 
-    def _get_stream_progs(self, image_size, w_band, rounds_a, rounds_b):
-        """Memoized jitted programs for the streamed phase 1.
-
-        Band A = global cols [0, w_band); band B = [c, image_size) with
-        c = image_size - w_band. Patches left of the split never write cols
-        >= w_band and patches right of it never write cols < c, so after
-        band A the cols [0, c) are FINAL (fetched while band B computes) and
-        band B — seeded with A's accumulator over the overlap [c, w_band) —
-        finalizes the rest. Integer accumulation keeps the result
-        bit-identical to the whole-region dispatch."""
-        key = ("stream", image_size, w_band, rounds_a, rounds_b)
+    def _get_stream_band_prog(self, H, band_w, seg_ws, rounds, seed_w):
+        """Memoized jitted per-band program: assemble the band's pixels on
+        DEVICE from the disjoint slab segments (later slabs crossed the link
+        while earlier bands computed), seed the first `seed_w` accumulator
+        columns from the previous band's overlap, scan this band's batches.
+        seg_ws: static widths of the slab segments to concatenate (their sum
+        is band_w). seed_w == 0 means a fresh accumulator (band 0)."""
+        key = ("streamband", H, band_w, tuple(seg_ws), rounds, seed_w)
         if key in self._sharded_cache:
             return self._sharded_cache[key]
-        H = image_size
-        c = image_size - w_band
-        carry_w = w_band - c
 
-        def scan_band(params, band_img, x0s, y0s, w, fused0, cnt0):
+        def run(params, *args):
+            segs = args[: len(seg_ws)]
+            x0s, y0s, w = args[len(seg_ws) : len(seg_ws) + 3]
+            band_img = (
+                segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+            )
+            fused0 = jnp.zeros((H, band_w, 2), jnp.int32)
+            cnt0 = jnp.zeros((H, band_w), jnp.int32)
+            if seed_w:
+                prev_f, prev_c = args[len(seg_ws) + 3 :]
+                fused0 = fused0.at[:, :seed_w].set(prev_f)
+                cnt0 = cnt0.at[:, :seed_w].set(prev_c)
+
             def step(carry, xyw):
                 fused, cnt = carry
                 bx, by, bw = xyw
@@ -482,45 +504,43 @@ class TiledInferenceEngine:
             )
             return feats, fused, cnt
 
-        def prog_a(params, slab_a, x0s, y0s, w):
-            fused0 = jnp.zeros((H, w_band, 2), jnp.int32)
-            cnt0 = jnp.zeros((H, w_band), jnp.int32)
-            return scan_band(params, slab_a, x0s, y0s, w, fused0, cnt0)
+        fn = jax.jit(run)
+        self._sharded_cache[key] = fn
+        return fn
 
-        def fin_a(fused, cnt):
-            # cols [0, c): band B never writes there — final after band A
-            return self._finalize_impl(fused[:, :c], cnt[:, :c])
-
-        def prog_b(params, slab_a, slab_b, x0s, y0s, w, prev_f, prev_c):
-            # assemble this band's pixels on DEVICE from the two disjoint
-            # uploads (slab_b crossed the link during band A's compute)
-            band_img = jnp.concatenate([slab_a[:, c:], slab_b], axis=1)
-            fused0 = jnp.zeros((H, w_band, 2), jnp.int32)
-            cnt0 = jnp.zeros((H, w_band), jnp.int32)
-            fused0 = fused0.at[:, :carry_w].set(prev_f[:, c:])
-            cnt0 = cnt0.at[:, :carry_w].set(prev_c[:, c:])
-            feats, fused, cnt = scan_band(
-                params, band_img, x0s, y0s, w, fused0, cnt0
+    def _get_stream_fin(self, H, band_w, chunk_w):
+        """Memoized jitted finalize of a band's FINAL columns (no later band
+        writes them): average + quantize chunk_w leading buffer columns."""
+        key = ("streamfin", H, band_w, chunk_w)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+        fn = jax.jit(
+            lambda fused, cnt: self._finalize_impl(
+                fused[:, :chunk_w], cnt[:, :chunk_w]
             )
-            return feats, self._finalize_impl(fused, cnt)
-
-        progs = (jax.jit(prog_a), jax.jit(fin_a), jax.jit(prog_b))
-        self._sharded_cache[key] = progs
-        return progs
-
-    def _phase1_streamed(self, img, all_patch_info, nA, w_band):
-        """Host half of the streamed phase 1: two disjoint column-slab
-        uploads, two band dispatches, early mask fetch. The whole-region path
-        serializes [upload 12.6 MB][compute][download 8 MB] over the host
-        link; here slab B's upload rides under band A's compute and ~half the
-        mask download rides under band B's."""
-        B = self.batch_size
-        c = img.shape[0] - w_band
-        prog_a, fin_a, prog_b = self._get_stream_progs(
-            img.shape[0], w_band, nA // B, (len(all_patch_info) - nA) // B
         )
-        slab_a = jax.device_put(np.ascontiguousarray(img[:, :w_band]))
-        slab_b = jax.device_put(np.ascontiguousarray(img[:, w_band:]))
+        self._sharded_cache[key] = fn
+        return fn
+
+    def _phase1_streamed(self, img, all_patch_info, bands):
+        """Host half of the streamed phase 1: k disjoint column-slab
+        uploads, k band dispatches, k early mask-chunk fetches. The
+        whole-region path serializes [upload 12.6 MB][compute][download
+        8 MB] over the host link; here slab i>0's upload rides under earlier
+        bands' compute and every chunk fetch except the last rides under
+        later bands'. More bands shrink the two serialized tails (first
+        slab upload, last chunk fetch) at the cost of one extra dispatch
+        pair per band. Mask accumulation stays int32 fixed-point, so any
+        band count is BIT-identical to the whole-region dispatch."""
+        B = self.batch_size
+        H, W = img.shape[0], img.shape[1]
+        k = len(bands)
+        # disjoint slabs: slab i covers pixel cols [e_{i-1}, e_i)
+        slab_lo = [0] + [b["e"] for b in bands[:-1]]
+        slabs = [
+            jax.device_put(np.ascontiguousarray(img[:, lo : b["e"]]))
+            for lo, b in zip(slab_lo, bands)
+        ]
 
         def coords(info_slice, x_off):
             r = len(info_slice) // B
@@ -532,21 +552,41 @@ class TiledInferenceEngine:
             w = np.ones((r, B), np.int32)
             return jnp.asarray(x0s), jnp.asarray(y0s), jnp.asarray(w)
 
-        xa, ya, wa = coords(all_patch_info[:nA], 0)
-        xb, yb, wb = coords(all_patch_info[nA:], c)
-        feats_a, fused_a, cnt_a = prog_a(self.params, slab_a, xa, ya, wa)
-        mask_a = fin_a(fused_a, cnt_a)
-        feats_b, mask_b = prog_b(
-            self.params, slab_a, slab_b, xb, yb, wb, fused_a, cnt_a
-        )
-        batches = [
-            (feats_a[r], list(all_patch_info[r * B : (r + 1) * B]))
-            for r in range(feats_a.shape[0])
-        ] + [
-            (feats_b[r], list(all_patch_info[nA + r * B : nA + (r + 1) * B]))
-            for r in range(feats_b.shape[0])
-        ]
-        return batches, ("stream", mask_a, mask_b)
+        chunks, batches = [], []
+        prev = None  # (fused, cnt, a, e) of the previous band
+        for i, b in enumerate(bands):
+            a, e = b["a"], b["e"]
+            band_w = e - a
+            # slab segments covering pixel cols [a, e)
+            segs, seg_ws = [], []
+            for j, (lo, sb) in enumerate(zip(slab_lo, slabs)):
+                hi = bands[j]["e"]
+                if hi <= a or lo >= e:
+                    continue
+                s0 = max(a - lo, 0)
+                segs.append(sb[:, s0:])
+                seg_ws.append(hi - lo - s0)
+            info = all_patch_info[b["i0"] : b["i1"]]
+            x0s, y0s, w = coords(info, a)
+            seed_w = 0 if prev is None else prev[3] - a
+            prog = self._get_stream_band_prog(
+                H, band_w, seg_ws, len(info) // B, seed_w
+            )
+            args = [self.params] + segs + [x0s, y0s, w]
+            if prev is not None:
+                # previous buffer cols [a - prev_a, ...) overlap this band
+                off = a - prev[2]
+                args += [prev[0][:, off:], prev[1][:, off:]]
+            feats, fused, cnt = prog(*args)
+            # columns below the NEXT band's anchor are final now
+            chunk_end = bands[i + 1]["a"] if i + 1 < k else W
+            chunks.append(
+                self._get_stream_fin(H, band_w, chunk_end - a)(fused, cnt)
+            )
+            for r in range(len(info) // B):
+                batches.append((feats[r], list(info[r * B : (r + 1) * B])))
+            prev = (fused, cnt, a, e)
+        return batches, ("stream", *chunks)
 
     def _phase2_impl(self, params, feats, points, tgt, valid_packed):
         if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
@@ -662,11 +702,13 @@ class TiledInferenceEngine:
         elif (
             bool(cfg.INFER_STREAM_PHASE1)
             and patch_num > B
-            and (split := self._stream_split(all_patch_info, image_size))
-            is not None
+            and (plan := self._stream_plan(
+                all_patch_info, image_size,
+                int(cfg.INFER_STREAM_BANDS or 2),
+            )) is not None
         ):
             batches, masks_dev = self._phase1_streamed(
-                img, all_patch_info, split[0], split[1]
+                img, all_patch_info, plan
             )
         elif int(cfg.INFER_UPLOAD_BANDS or 1) > 1 and patch_num > B:
             batches, masks_dev = self._phase1_banded_upload(
@@ -711,10 +753,9 @@ class TiledInferenceEngine:
 
         md = p1["masks_dev"]
         if isinstance(md, tuple) and md[0] == "stream":
-            # band A's finalized columns transfer while band B computes
-            masks_u8 = np.concatenate(
-                [np.asarray(md[1]), np.asarray(md[2])], axis=1
-            )
+            # every band's finalized chunk except the last transfers while
+            # later bands compute
+            masks_u8 = np.concatenate([np.asarray(c) for c in md[1:]], axis=1)
         else:
             masks_u8 = np.asarray(md)  # sync point
         fused_keypoint_mask = np.ascontiguousarray(masks_u8[..., 0])

@@ -158,11 +158,13 @@ def test_banded_upload_bit_identical(tiny_setup):
     np.testing.assert_array_equal(e0, e1)
 
 
-def test_streamed_phase1_bit_identical(tiny_setup):
-    """The streamed two-dispatch phase 1 (disjoint column-slab uploads,
-    early mask fetch) must be BIT-identical to the whole-region single
-    dispatch: same int32 fixed-point sums, just split at a column
-    boundary."""
+@pytest.mark.parametrize("n_bands", [2, 3, 4])
+def test_streamed_phase1_bit_identical(tiny_setup, n_bands):
+    """The streamed k-band phase 1 (disjoint column-slab uploads, early
+    mask-chunk fetches) must be BIT-identical to the whole-region single
+    dispatch at ANY band count: same int32 fixed-point sums, just split at
+    column boundaries (bands assemble their pixels on device from the slab
+    segments and carry the accumulator overlap forward)."""
     cfg, params = tiny_setup
     rng = np.random.default_rng(12)
     img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
@@ -177,16 +179,23 @@ def test_streamed_phase1_bit_identical(tiny_setup):
         params, point_bucket=16,
     )
     streamed = TiledInferenceEngine(
-        load_config(overrides={**shared, "INFER_STREAM_PHASE1": True}),
+        load_config(overrides={**shared, "INFER_STREAM_PHASE1": True,
+                               "INFER_STREAM_BANDS": n_bands}),
         params, point_bucket=16,
     )
-    # the tiny grid must actually take the streamed path
+    # the tiny grid must actually take the streamed path at this band count
     info = __import__(
         "sam_road_tpu.data.partitions", fromlist=["get_patch_info_one_img"]
     ).get_patch_info_one_img(
         0, 192, cfg.SAMPLE_MARGIN, cfg.PATCH_SIZE, cfg.INFER_PATCHES_PER_EDGE
     )
-    assert streamed._stream_split(info, 192) is not None
+    plan = streamed._stream_plan(info, 192, n_bands)
+    assert plan is not None and len(plan) == n_bands
+    # bands partition the patch list and chunk anchors are increasing
+    assert plan[0]["i0"] == 0 and plan[-1]["i1"] == len(info)
+    assert all(b["i1"] == c["i0"] for b, c in zip(plan, plan[1:]))
+    assert all(b["a"] < c["a"] for b, c in zip(plan, plan[1:]))
+    assert plan[-1]["e"] == 192
 
     n0, e0, kp0, rd0 = whole.infer_one_img(img)
     n1, e1, kp1, rd1 = streamed.infer_one_img(img)
