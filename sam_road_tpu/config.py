@@ -109,6 +109,9 @@ DEFAULTS: dict = {
     # slab upload + last mask-chunk fetch (bit-identical at any count);
     # paired TPU A/B: 4 beat 2 every round, median +0.12 s/region
     "INFER_STREAM_BANDS": 4,
+    # phase-2 grouped score fetch in k dispatch-ordered waves: wave 1's
+    # transfer rides under the later batches' TopoNet time
+    "INFER_P2_FETCH_WAVES": 1,
     "FUSED_ENCODER": False,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts

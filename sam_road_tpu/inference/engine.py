@@ -843,17 +843,31 @@ class TiledInferenceEngine:
         for bi, (scores_dev, _) in enumerate(pending):
             by_shape.setdefault(scores_dev.shape, []).append(bi)
         fetched: dict = {}
+        # INFER_P2_FETCH_WAVES > 1 splits a bucket's grouped fetch into
+        # dispatch-ordered waves: wave 1's stack only waits on the FIRST
+        # half of the scoring queue, so its link transfer rides under the
+        # second half's device time (one extra RTT per extra wave).
+        waves = max(1, int(cfg.INFER_P2_FETCH_WAVES or 1))
         for shape, idxs in by_shape.items():
-            maxn = max(
-                (p[1].shape[0] for bi in idxs for p in pending[bi][1]),
-                default=0,
-            )
-            maxn_c = min(shape[1], _round_up(max(maxn, 1), 32))
-            stacked = np.asarray(
-                jnp.stack([pending[bi][0] for bi in idxs])[:, :, :maxn_c]
-            )
-            for j, bi in enumerate(idxs):
-                fetched[bi] = stacked[j]
+            if waves > 1 and len(idxs) >= 2 * waves:
+                # dispatch-ordered contiguous waves
+                parts = [
+                    list(s) for s in np.array_split(np.asarray(idxs), waves)
+                    if len(s)
+                ]
+            else:
+                parts = [idxs]
+            for part in parts:
+                maxn = max(
+                    (p[1].shape[0] for bi in part for p in pending[bi][1]),
+                    default=0,
+                )
+                maxn_c = min(shape[1], _round_up(max(maxn, 1), 32))
+                stacked = np.asarray(
+                    jnp.stack([pending[bi][0] for bi in part])[:, :, :maxn_c]
+                )
+                for j, bi in enumerate(part):
+                    fetched[bi] = stacked[j]
         fine["p2_fetch"] += time.time() - tfetch
 
         for bi, (scores_dev, per_patch) in enumerate(pending):

@@ -203,3 +203,29 @@ def test_streamed_phase1_bit_identical(tiny_setup, n_bands):
     np.testing.assert_array_equal(rd0, rd1)
     np.testing.assert_array_equal(n0, n1)
     np.testing.assert_array_equal(e0, e1)
+
+
+def test_p2_fetch_waves_exact(tiny_setup):
+    """INFER_P2_FETCH_WAVES splits the grouped score fetch into
+    dispatch-ordered waves; each wave slices its stack to its OWN real max
+    point count, so results must be exactly the outputs of the single
+    grouped fetch (downstream slices scores[i, :n] per patch)."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
+    base = TiledInferenceEngine(cfg, params, point_bucket=16)
+    n0, e0, kp0, rd0 = base.infer_one_img(img)
+
+    cfg_w = load_config(overrides={**{k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}, "INFER_P2_FETCH_WAVES": 2})
+    waved = TiledInferenceEngine(cfg_w, params, point_bucket=16)
+    n1, e1, kp1, rd1 = waved.infer_one_img(img)
+
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(rd0, rd1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
