@@ -31,7 +31,7 @@ from sam_road_tpu.ops.attention import (
     fused_attention,
 )
 from sam_road_tpu.ops.fused_block import window_attention_rows
-from sam_road_tpu.ops.fused_ln import ln_dense, ln_mlp_residual
+from sam_road_tpu.ops.fused_ln import ln_dense, proj_ln_mlp_residual
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -100,11 +100,12 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
         qkv_w, bh, bw, ws, num_heads, interpret=interp,
     )
     out = _unpartition(out_w, ws, (Hp, Wp), (H, W), B)
-    out = out @ attn["proj"]["kernel"].astype(dtype)
-    x1 = x + (out + attn["proj"]["bias"].astype(dtype))
-
-    return ln_mlp_residual(
-        x1.reshape(B * H * W, C), bp["norm2"]["scale"], bp["norm2"]["bias"],
+    # whole post-attention tail (proj + residual + LN2 + MLP + residual)
+    # in one token-tiled HBM pass; x1 never touches HBM
+    return proj_ln_mlp_residual(
+        x.reshape(B * H * W, C), out.reshape(B * H * W, C),
+        attn["proj"]["kernel"], attn["proj"]["bias"],
+        bp["norm2"]["scale"], bp["norm2"]["bias"],
         bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
         bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interpret=interp,
     ).reshape(B, H, W, C)
@@ -146,11 +147,10 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
         q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
         out = fused_attention(q_aug, k_aug, v, interp)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
-    out = out @ attn["proj"]["kernel"].astype(dtype)
-    x1 = x + (out + attn["proj"]["bias"].astype(dtype))
-
-    return ln_mlp_residual(
-        x1.reshape(B * H * W, C), bp["norm2"]["scale"], bp["norm2"]["bias"],
+    return proj_ln_mlp_residual(
+        x.reshape(B * H * W, C), out.reshape(B * H * W, C),
+        attn["proj"]["kernel"], attn["proj"]["bias"],
+        bp["norm2"]["scale"], bp["norm2"]["bias"],
         bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
         bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interpret=interp,
     ).reshape(B, H, W, C)

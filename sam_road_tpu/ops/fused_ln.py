@@ -12,6 +12,10 @@ in ops/fused_block.py whose M=196 matmuls starve the MXU):
 - ln_mlp_residual: y = x + W2 gelu(W1 LN(x) + b1) + b2
                    one read of x, one write of y — the 4x hidden
                    activation never touches HBM (chunked in VMEM)
+- proj_ln_mlp_residual: the whole post-attention block tail
+                   (x1 = x + attn_out @ Wp + bp, then LN2+MLP+residual)
+                   — reads x and attn_out once, writes the block output
+                   once; x1 and the hidden never touch HBM
 
 Both kernels tile the TOKEN axis only, so they are independent of window
 partitioning and apply to windowed and global blocks alike
@@ -86,6 +90,70 @@ def ln_dense(x, ln_scale, ln_bias, w, bias=None, *, tile: int = 256,
         interpret=interpret,
     )(x, ln_scale.astype(dt), ln_bias.astype(dt), w.astype(dt),
       bias.astype(dt))
+
+
+def _proj_ln_mlp_kernel(chunks: int, x_ref, a_ref, wp_ref, bp_ref, s_ref,
+                        b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x1 = (x_ref[...].astype(jnp.float32)
+          + jnp.dot(a_ref[...], wp_ref[...],
+                    preferred_element_type=jnp.float32)
+          + bp_ref[:].astype(jnp.float32))
+    mu = jnp.mean(x1, axis=-1, keepdims=True)
+    var = jnp.mean((x1 - mu) ** 2, axis=-1, keepdims=True)
+    h = (x1 - mu) * jax.lax.rsqrt(var + 1e-6)
+    h = (h * s_ref[:].astype(jnp.float32)
+         + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hidden = w1_ref.shape[-1]
+    cs = hidden // chunks
+    acc = x1 + b2_ref[:].astype(jnp.float32)
+    for c in range(chunks):
+        mid = jnp.dot(h, w1_ref[:, c * cs:(c + 1) * cs],
+                      preferred_element_type=jnp.float32)
+        mid = _gelu_exact(mid + b1_ref[c * cs:(c + 1) * cs].astype(jnp.float32))
+        acc = acc + jnp.dot(mid.astype(x_ref.dtype),
+                            w2_ref[c * cs:(c + 1) * cs, :],
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def proj_ln_mlp_residual(x, attn_out, wp, bp, ln_scale, ln_bias, w1, b1, w2,
+                         b2, *, tile: int = 512, chunks: int = 4,
+                         interpret: bool = False):
+    """out = x1 + Dense2(gelu(Dense1(LN(x1)))), x1 = x + attn_out @ wp + bp.
+
+    The block's whole post-attention tail — attention output projection,
+    residual add, LN2, MLP, second residual — in ONE HBM pass: read x and
+    attn_out once, write the block output once. The separate-proj path
+    costs two extra full-activation passes (XLA fuses proj+bias+residual
+    into one read-out/read-x/write-x1 pass, then the MLP kernel re-reads
+    x1). x1 itself never touches HBM here.
+    """
+    M, C = x.shape
+    hidden = w1.shape[-1]
+    while chunks > 1 and hidden % chunks:
+        chunks -= 1
+    t = _pick_tile(M, tile)
+    dt = x.dtype
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    tok = lambda w: pl.BlockSpec((t, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_proj_ln_mlp_kernel, chunks),
+        out_shape=jax.ShapeDtypeStruct((M, C), dt),
+        grid=(M // t,),
+        in_specs=[
+            tok(C), tok(C),
+            full((C, C)), full((C,)),
+            full((C,)), full((C,)),
+            full((C, hidden)), full((hidden,)),
+            full((hidden, C)), full((C,)),
+        ],
+        out_specs=tok(C),
+        interpret=interpret,
+    )(x, attn_out.astype(dt), wp.astype(dt), bp.astype(dt),
+      ln_scale.astype(dt), ln_bias.astype(dt), w1.astype(dt), b1.astype(dt),
+      w2.astype(dt), b2.astype(dt))
 
 
 def _ln_mlp_kernel(chunks: int, x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
