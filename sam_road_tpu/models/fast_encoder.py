@@ -30,7 +30,7 @@ from sam_road_tpu.ops.attention import (
     attention_relpos_rows,
     fused_attention,
 )
-from sam_road_tpu.ops.fused_block import window_attention_rows
+from sam_road_tpu.ops.fused_block import window_attention_rows_grid
 from sam_road_tpu.ops.fused_ln import ln_dense, proj_ln_mlp_residual
 
 
@@ -78,28 +78,39 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     ).reshape(B, H, W, 3 * C)
     pad_h = (ws - H % ws) % ws
     pad_w = (ws - W % ws) % ws
+    # pad slots stay exactly 0 (bias-free); the attention kernel adds the
+    # qkv bias in-kernel, so pad tokens become qkv(0) = bias (SAM
+    # semantics) WITHOUT a second full-activation bias pass, and the
+    # window partition/unpartition transposes live in the kernel's block
+    # index maps instead of HBM (window_attention_rows_grid).
     qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    qkv_p = qkv_p + attn["qkv"]["bias"].astype(dtype)
     Hp, Wp = H + pad_h, W + pad_w
-    qkv_w = qkv_p.reshape(B, Hp // ws, ws, Wp // ws, ws, 3 * C)
-    qkv_w = qkv_w.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
+    nI, nJ = Hp // ws, Wp // ws
 
     # rel-pos bias rows for ALL windows x heads in one XLA batched einsum
-    # (the in-kernel broadcast-reduce was a third of the kernel's op count)
+    # (the in-kernel broadcast-reduce was a third of the kernel's op count);
+    # the qkv bias's contribution (qb . R) is a constant per (head, row)
+    # added analytically — never materializing a biased q tensor.
     hd = C // num_heads
     coords = np.arange(ws)[:, None] - np.arange(ws)[None, :] + ws - 1
     Rh = jnp.asarray(attn["rel_pos_h"])[coords].astype(dtype)  # (ws, ws, hd)
     Rw = jnp.asarray(attn["rel_pos_w"])[coords].astype(dtype)
-    qw = qkv_w[..., :C].reshape(-1, ws, ws, num_heads, hd)
-    nW = qw.shape[0]
-    bh = jnp.einsum("wijhc,iac->whija", qw, Rh).reshape(
-        nW, num_heads, ws * ws, ws)
-    bw = jnp.einsum("wijhc,jac->whija", qw, Rw).reshape(
-        nW, num_heads, ws * ws, ws)
-    out_w = window_attention_rows(
-        qkv_w, bh, bw, ws, num_heads, interpret=interp,
+    q_p = qkv_p[..., :C].reshape(B, nI, ws, nJ, ws, num_heads, hd)
+    bias_q = attn["qkv"]["bias"][:C].reshape(num_heads, hd).astype(dtype)
+    bh = jnp.einsum("bIiJjhc,iac->bIJhija", q_p, Rh)
+    bw = jnp.einsum("bIiJjhc,jac->bIJhija", q_p, Rw)
+    bh = bh + jnp.einsum("hc,iac->hia", bias_q, Rh)[
+        None, None, None, :, :, None, :]
+    bw = bw + jnp.einsum("hc,jac->hja", bias_q, Rw)[
+        None, None, None, :, None, :, :]
+    N = ws * ws
+    bh = bh.reshape(B, nI, nJ, num_heads, N, ws)
+    bw = bw.reshape(B, nI, nJ, num_heads, N, ws)
+    out_p = window_attention_rows_grid(
+        qkv_p, attn["qkv"]["bias"].astype(dtype), bh, bw, ws, num_heads,
+        interpret=interp,
     )
-    out = _unpartition(out_w, ws, (Hp, Wp), (H, W), B)
+    out = out_p[:, :H, :W, :]
     # whole post-attention tail (proj + residual + LN2 + MLP + residual)
     # in one token-tiled HBM pass; x1 never touches HBM
     return proj_ln_mlp_residual(
@@ -154,15 +165,6 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
         bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
         bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interpret=interp,
     ).reshape(B, H, W, C)
-
-
-def _unpartition(xw, ws, pad_hw, hw, B):
-    Hp, Wp = pad_hw
-    H, W = hw
-    C = xw.shape[-1]
-    x = xw.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
-    return x[:, :H, :W, :]
 
 
 def encoder_forward_fused(params, x, sam_version: str = "vit_b",

@@ -162,6 +162,104 @@ def window_attention_rows(qkv_windows, bh, bw, win: int, num_heads: int,
     )(qkv_windows, bh.astype(dt), bw.astype(dt))
 
 
+def _window_attn_rows_grid_kernel(num_heads: int, win: int, qkv_ref,
+                                  bias_ref, bh_ref, bw_ref, o_ref):
+    """window_attention_rows, but the window PARTITION lives in the block
+    index maps: qkv blocks are (1, win, win, 3C) tiles read straight from
+    the padded token grid and outputs are written back as grid tiles — the
+    XLA reshape/transpose passes that materialized the (nW, N, 3C) window
+    layout (and un-materialized the output) never touch HBM. The qkv BIAS
+    is added in-kernel, so the grid tensor upstream is the bias-free
+    ln_dense output zero-padded to the window grid: pad tokens become
+    exactly qkv(0) = bias, reproducing SAM's zero-pads-after-norm
+    semantics (reference model.py:245-258 window partition)."""
+    N = win * win
+    C3 = qkv_ref.shape[-1]
+    C = C3 // 3
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
+    sel_h = (k_idx // win == a_idx).astype(jnp.float32)
+    sel_w = (k_idx % win == a_idx).astype(jnp.float32)
+    sel = jnp.concatenate([sel_h, sel_w], axis=0)  # (2*win, N)
+
+    qkv = qkv_ref[0, 0, :, 0, :, :].reshape(N, C3) \
+        + bias_ref[:].astype(qkv_ref.dtype)
+    bh = bh_ref[0, 0, 0]  # (H, N, win)
+    bw = bw_ref[0, 0, 0]
+    head_outs = []
+    for head in range(num_heads):
+        q = qkv[:, head * head_dim:(head + 1) * head_dim]
+        k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
+        v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        bhw = jnp.concatenate(
+            [bh[head].astype(jnp.float32), bw[head].astype(jnp.float32)],
+            axis=-1,
+        )  # (N, 2*win)
+        s = s + jnp.dot(bhw, sel, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        head_outs.append(
+            jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        )
+    out = jnp.concatenate(head_outs, axis=-1)  # (N, C)
+    o_ref[0, 0, :, 0, :, :] = out.reshape(win, win, C).astype(o_ref.dtype)
+
+
+def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
+                               num_heads: int, interpret: bool = False):
+    """Windowed attention reading/writing the padded token GRID directly.
+
+    Args:
+      qkv_grid: [B, Hp, Wp, 3C] BIAS-FREE qkv on the zero-padded grid
+        (Hp/Wp multiples of win). The bias is added in-kernel so pad
+        tokens act as qkv(0) = bias keys (SAM semantics).
+      qkv_bias: [3C].
+      bh / bw: [B, Hp//win, Wp//win, H, N, win] per-head bias rows
+        (q+qb) . Rh / Rw in token order n = i*win + j.
+    Returns [B, Hp, Wp, C] attention output on the padded grid.
+    """
+    B, Hp, Wp, C3 = qkv_grid.shape
+    assert Hp % win == 0 and Wp % win == 0
+    nI, nJ = Hp // win, Wp // win
+    N = win * win
+    C = C3 // 3
+    dt = qkv_grid.dtype
+    # Mosaic requires the last two BLOCK dims to be (8,128)-divisible or
+    # full: a (win, win, 3C) tile of the 4-D grid violates that at win=14.
+    # The free (no-transpose) 6-D view (B, nI, ws, nJ, ws, 3C) makes both
+    # window axes FULL array dims, so (1,1,ws,1,ws,3C) blocks are legal and
+    # the DMA engine gathers window tiles straight from the grid layout.
+    qkv6 = qkv_grid.reshape(B, nI, win, nJ, win, C3)
+    win_blk = lambda c: pl.BlockSpec(
+        (1, 1, win, 1, win, c), lambda b, i, j: (b, i, 0, j, 0, 0),
+        memory_space=pltpu.VMEM)
+    out6 = pl.pallas_call(
+        functools.partial(_window_attn_rows_grid_kernel, num_heads, win),
+        out_shape=jax.ShapeDtypeStruct((B, nI, win, nJ, win, C), dt),
+        grid=(B, nI, nJ),
+        in_specs=[
+            win_blk(C3),
+            pl.BlockSpec((C3,), lambda b, i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, num_heads, N, win),
+                         lambda b, i, j: (b, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, num_heads, N, win),
+                         lambda b, i, j: (b, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=win_blk(C),
+        interpret=interpret,
+    )(qkv6, qkv_bias.astype(dt), bh.astype(dt), bw.astype(dt))
+    return out6.reshape(B, Hp, Wp, C)
+
+
 def _window_attn_batched_kernel(win: int, n_real: int, q_ref, k_ref, v_ref,
                                 rh_ref, rw_ref, o_ref):
     """Batched windowed attention: (window, head) pairs flattened into ONE

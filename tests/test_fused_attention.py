@@ -189,3 +189,60 @@ def test_window_attention_rows_matches_relpos_kernel():
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
             err_msg=f"group={group}",
         )
+
+
+def test_window_attention_rows_grid_matches_rows_kernel():
+    """The grid-layout kernel (window partition in the block index maps,
+    qkv bias added in-kernel) must reproduce the window-layout rows kernel
+    on a padded grid whose pad tokens are zero pre-bias."""
+    from sam_road_tpu.ops.fused_block import (
+        window_attention_rows,
+        window_attention_rows_grid,
+    )
+
+    win, heads, hd = 4, 2, 8
+    B, H, W = 2, 6, 10  # pads to 8 x 12 -> nI=2, nJ=3
+    N = win * win
+    C = heads * hd
+    rng = np.random.default_rng(21)
+    qkv_nb = jnp.asarray(rng.normal(size=(B, H, W, 3 * C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(3 * C,)) * 0.2, jnp.float32)
+    rh = jnp.asarray(rng.normal(size=(2 * win - 1, hd)) * 0.1, jnp.float32)
+    rw = jnp.asarray(rng.normal(size=(2 * win - 1, hd)) * 0.1, jnp.float32)
+    pad_h, pad_w = (win - H % win) % win, (win - W % win) % win
+    Hp, Wp = H + pad_h, W + pad_w
+    nI, nJ = Hp // win, Wp // win
+
+    # reference: explicit pad + bias + window transpose -> rows kernel
+    qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    qkv_b = qkv_p + bias
+    qkv_w = qkv_b.reshape(B, nI, win, nJ, win, 3 * C)
+    qkv_w = qkv_w.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, 3 * C)
+    coords = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
+    Rh = jnp.asarray(rh)[coords]
+    Rw = jnp.asarray(rw)[coords]
+    qw = qkv_w[..., :C].reshape(-1, win, win, heads, hd)
+    nW = qw.shape[0]
+    bh_w = jnp.einsum("wijhc,iac->whija", qw, Rh).reshape(nW, heads, N, win)
+    bw_w = jnp.einsum("wijhc,jac->whija", qw, Rw).reshape(nW, heads, N, win)
+    want_w = window_attention_rows(qkv_w, bh_w, bw_w, win, heads,
+                                   interpret=True)
+    want = want_w.reshape(B, nI, nJ, win, win, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+
+    # grid kernel: bias-free padded grid, bias rows with analytic qb.R term
+    q_p = qkv_p[..., :C].reshape(B, nI, win, nJ, win, heads, hd)
+    bias_q = bias[:C].reshape(heads, hd)
+    bh = jnp.einsum("bIiJjhc,iac->bIJhija", q_p, Rh)
+    bw = jnp.einsum("bIiJjhc,jac->bIJhija", q_p, Rw)
+    bh = bh + jnp.einsum("hc,iac->hia", bias_q, Rh)[
+        None, None, None, :, :, None, :]
+    bw = bw + jnp.einsum("hc,jac->hja", bias_q, Rw)[
+        None, None, None, :, None, :, :]
+    bh = bh.reshape(B, nI, nJ, heads, N, win)
+    bw = bw.reshape(B, nI, nJ, heads, N, win)
+    got = window_attention_rows_grid(qkv_p, bias, bh, bw, win, heads,
+                                     interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+    )
