@@ -109,6 +109,13 @@ DEFAULTS: dict = {
     # slab upload + last mask-chunk fetch (bit-identical at any count);
     # paired TPU A/B: 4 beat 2 every round, median +0.12 s/region
     "INFER_STREAM_BANDS": 4,
+    # taper the stream plan: first/last bands ~half the interior width, so
+    # the two SERIALIZED pipeline ends (first slab upload before any
+    # compute, last mask-chunk fetch after all compute) shrink while the
+    # interior bands keep the device saturated. Paired TPU A/B (6
+    # interleaved rounds, 2026-08-18): taper won EVERY round, paired
+    # delta median +0.282 s/region, phase1 min 1.956 vs 2.169 s
+    "INFER_STREAM_TAPER": True,
     # phase-2 grouped score fetch in k dispatch-ordered waves: wave 1's
     # transfer rides under the later batches' TopoNet time
     "INFER_P2_FETCH_WAVES": 1,

@@ -443,12 +443,20 @@ class TiledInferenceEngine:
         if not elig:
             return None
         k = max(2, min(int(n_bands), len(elig) + 1))
+        if bool(self.config.INFER_STREAM_TAPER) and k >= 3:
+            # tapered split targets: end bands ~half an interior band's
+            # width (cumulative weights 1,2,..,2,1), shrinking the two
+            # serialized pipeline ends (first slab upload, last chunk
+            # fetch) without starving the interior compute stream
+            fracs = [(2 * j - 1) / (2 * k - 2) for j in range(1, k)]
+        else:
+            fracs = [j / k for j in range(1, k)]
         splits: list = []
-        for j in range(1, k):
+        for f in fracs:
             cands = [c for c in elig if c not in splits]
             if not cands:
                 break
-            target = j * len(xs) / k
+            target = f * len(xs)
             splits.append(min(cands, key=lambda c: abs(c - target)))
         bounds = [0] + sorted(splits) + [len(xs)]
         bands = []

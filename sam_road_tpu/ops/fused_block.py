@@ -23,6 +23,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Trace-time default for window_attention_rows_grid's program granularity
+# (one program per window vs per window-row); flipped by
+# tools/experiment_fused_encoder.py for paired A/Bs.
+WIN_ROW_PROGRAMS = False
+
 
 def _erf(x):
     """erf via Abramowitz-Stegun 7.1.26 (|error| <= 1.5e-7): the TPU Pallas
@@ -162,33 +167,24 @@ def window_attention_rows(qkv_windows, bh, bw, win: int, num_heads: int,
     )(qkv_windows, bh.astype(dt), bw.astype(dt))
 
 
-def _window_attn_rows_grid_kernel(num_heads: int, win: int, qkv_ref,
-                                  bias_ref, bh_ref, bw_ref, o_ref):
-    """window_attention_rows, but the window PARTITION lives in the block
-    index maps: qkv blocks are (1, win, win, 3C) tiles read straight from
-    the padded token grid and outputs are written back as grid tiles — the
-    XLA reshape/transpose passes that materialized the (nW, N, 3C) window
-    layout (and un-materialized the output) never touch HBM. The qkv BIAS
-    is added in-kernel, so the grid tensor upstream is the bias-free
-    ln_dense output zero-padded to the window grid: pad tokens become
-    exactly qkv(0) = bias, reproducing SAM's zero-pads-after-norm
-    semantics (reference model.py:245-258 window partition)."""
+def _win_sel(win: int):
+    """Selector spreading (N, 2*win) bias rows onto the (N, N) key axis:
+    key n' = (i', j') receives bh[:, i'] + bw[:, j']."""
     N = win * win
-    C3 = qkv_ref.shape[-1]
-    C = C3 // 3
-    head_dim = C // num_heads
-    scale = head_dim ** -0.5
-
     a_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 0)
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (win, N), 1)
     sel_h = (k_idx // win == a_idx).astype(jnp.float32)
     sel_w = (k_idx % win == a_idx).astype(jnp.float32)
-    sel = jnp.concatenate([sel_h, sel_w], axis=0)  # (2*win, N)
+    return jnp.concatenate([sel_h, sel_w], axis=0)  # (2*win, N)
 
-    qkv = qkv_ref[0, 0, :, 0, :, :].reshape(N, C3) \
-        + bias_ref[:].astype(qkv_ref.dtype)
-    bh = bh_ref[0, 0, 0]  # (H, N, win)
-    bw = bw_ref[0, 0, 0]
+
+def _win_attn_body(num_heads, win, sel, qkv, bh, bw, out_dtype):
+    """One window's multi-head attention. qkv: (N, 3C) biased; bh/bw:
+    (H, N, win) bias rows; returns (win, win, C)."""
+    N = win * win
+    C = qkv.shape[-1] // 3
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
     head_outs = []
     for head in range(num_heads):
         q = qkv[:, head * head_dim:(head + 1) * head_dim]
@@ -208,11 +204,50 @@ def _window_attn_rows_grid_kernel(num_heads: int, win: int, qkv_ref,
                     preferred_element_type=jnp.float32)
         )
     out = jnp.concatenate(head_outs, axis=-1)  # (N, C)
-    o_ref[0, 0, :, 0, :, :] = out.reshape(win, win, C).astype(o_ref.dtype)
+    return out.reshape(win, win, C).astype(out_dtype)
+
+
+def _window_attn_rows_grid_kernel(num_heads: int, win: int, qkv_ref,
+                                  bias_ref, bh_ref, bw_ref, o_ref):
+    """window_attention_rows, but the window PARTITION lives in the block
+    index maps: qkv blocks are (1, win, win, 3C) tiles read straight from
+    the padded token grid and outputs are written back as grid tiles — the
+    XLA reshape/transpose passes that materialized the (nW, N, 3C) window
+    layout (and un-materialized the output) never touch HBM. The qkv BIAS
+    is added in-kernel, so the grid tensor upstream is the bias-free
+    ln_dense output zero-padded to the window grid: pad tokens become
+    exactly qkv(0) = bias, reproducing SAM's zero-pads-after-norm
+    semantics (reference model.py:245-258 window partition)."""
+    N = win * win
+    C3 = qkv_ref.shape[-1]
+    sel = _win_sel(win)
+    qkv = qkv_ref[0, 0, :, 0, :, :].reshape(N, C3) \
+        + bias_ref[:].astype(qkv_ref.dtype)
+    o_ref[0, 0, :, 0, :, :] = _win_attn_body(
+        num_heads, win, sel, qkv, bh_ref[0, 0, 0], bw_ref[0, 0, 0],
+        o_ref.dtype)
+
+
+def _window_attn_rows_grid_row_kernel(num_heads: int, win: int, nJ: int,
+                                      qkv_ref, bias_ref, bh_ref, bw_ref,
+                                      o_ref):
+    """Row-of-windows variant: one program per (batch, window-row) computes
+    all nJ windows of that row from ONE contiguous (win, nJ*win, 3C) DMA —
+    3x fewer programs and strictly row-major HBM reads."""
+    N = win * win
+    C3 = qkv_ref.shape[-1]
+    sel = _win_sel(win)
+    bias = bias_ref[:].astype(qkv_ref.dtype)
+    for j in range(nJ):
+        qkv = qkv_ref[0, 0, :, j, :, :].reshape(N, C3) + bias
+        o_ref[0, 0, :, j, :, :] = _win_attn_body(
+            num_heads, win, sel, qkv, bh_ref[0, 0, j], bw_ref[0, 0, j],
+            o_ref.dtype)
 
 
 def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
-                               num_heads: int, interpret: bool = False):
+                               num_heads: int, interpret: bool = False,
+                               row_programs: bool = False):
     """Windowed attention reading/writing the padded token GRID directly.
 
     Args:
@@ -222,6 +257,9 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
       qkv_bias: [3C].
       bh / bw: [B, Hp//win, Wp//win, H, N, win] per-head bias rows
         (q+qb) . Rh / Rw in token order n = i*win + j.
+      row_programs: one program per (batch, window-row) computing all nJ
+        windows (fewer, bigger programs with row-contiguous DMA) instead
+        of one per window.
     Returns [B, Hp, Wp, C] attention output on the padded grid.
     """
     B, Hp, Wp, C3 = qkv_grid.shape
@@ -236,24 +274,33 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
     # window axes FULL array dims, so (1,1,ws,1,ws,3C) blocks are legal and
     # the DMA engine gathers window tiles straight from the grid layout.
     qkv6 = qkv_grid.reshape(B, nI, win, nJ, win, C3)
+    nj_blk = nJ if row_programs else 1
     win_blk = lambda c: pl.BlockSpec(
-        (1, 1, win, 1, win, c), lambda b, i, j: (b, i, 0, j, 0, 0),
+        (1, 1, win, nj_blk, win, c),
+        (lambda b, i: (b, i, 0, 0, 0, 0)) if row_programs
+        else (lambda b, i, j: (b, i, 0, j, 0, 0)),
         memory_space=pltpu.VMEM)
+    rows_blk = pl.BlockSpec(
+        (1, 1, nj_blk, num_heads, N, win),
+        (lambda b, i: (b, i, 0, 0, 0, 0)) if row_programs
+        else (lambda b, i, j: (b, i, j, 0, 0, 0)),
+        memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec(
+        (C3,),
+        (lambda b, i: (0,)) if row_programs else (lambda b, i, j: (0,)),
+        memory_space=pltpu.VMEM)
+    kern = (
+        functools.partial(_window_attn_rows_grid_row_kernel, num_heads,
+                          win, nJ)
+        if row_programs
+        else functools.partial(_window_attn_rows_grid_kernel, num_heads,
+                               win)
+    )
     out6 = pl.pallas_call(
-        functools.partial(_window_attn_rows_grid_kernel, num_heads, win),
+        kern,
         out_shape=jax.ShapeDtypeStruct((B, nI, win, nJ, win, C), dt),
-        grid=(B, nI, nJ),
-        in_specs=[
-            win_blk(C3),
-            pl.BlockSpec((C3,), lambda b, i, j: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, num_heads, N, win),
-                         lambda b, i, j: (b, i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, num_heads, N, win),
-                         lambda b, i, j: (b, i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(B, nI) if row_programs else (B, nI, nJ),
+        in_specs=[win_blk(C3), bias_blk, rows_blk, rows_blk],
         out_specs=win_blk(C),
         interpret=interpret,
     )(qkv6, qkv_bias.astype(dt), bh.astype(dt), bw.astype(dt))

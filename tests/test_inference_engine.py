@@ -158,8 +158,10 @@ def test_banded_upload_bit_identical(tiny_setup):
     np.testing.assert_array_equal(e0, e1)
 
 
-@pytest.mark.parametrize("n_bands", [2, 3, 4])
-def test_streamed_phase1_bit_identical(tiny_setup, n_bands):
+@pytest.mark.parametrize("n_bands,taper", [(2, False), (3, False),
+                                           (4, False), (3, True),
+                                           (4, True)])
+def test_streamed_phase1_bit_identical(tiny_setup, n_bands, taper):
     """The streamed k-band phase 1 (disjoint column-slab uploads, early
     mask-chunk fetches) must be BIT-identical to the whole-region single
     dispatch at ANY band count: same int32 fixed-point sums, just split at
@@ -180,7 +182,8 @@ def test_streamed_phase1_bit_identical(tiny_setup, n_bands):
     )
     streamed = TiledInferenceEngine(
         load_config(overrides={**shared, "INFER_STREAM_PHASE1": True,
-                               "INFER_STREAM_BANDS": n_bands}),
+                               "INFER_STREAM_BANDS": n_bands,
+                               "INFER_STREAM_TAPER": taper}),
         params, point_bucket=16,
     )
     # the tiny grid must actually take the streamed path at this band count
