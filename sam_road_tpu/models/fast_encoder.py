@@ -106,10 +106,9 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     N = ws * ws
     bh = bh.reshape(B, nI, nJ, num_heads, N, ws)
     bw = bw.reshape(B, nI, nJ, num_heads, N, ws)
-    from sam_road_tpu.ops import fused_block as _fb
     out_p = window_attention_rows_grid(
         qkv_p, attn["qkv"]["bias"].astype(dtype), bh, bw, ws, num_heads,
-        interpret=interp, row_programs=_fb.WIN_ROW_PROGRAMS,
+        interpret=interp,
     )
     out = out_p[:, :H, :W, :]
     # whole post-attention tail (proj + residual + LN2 + MLP + residual)

@@ -23,10 +23,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Trace-time default for window_attention_rows_grid's program granularity
-# (one program per window vs per window-row); flipped by
-# tools/experiment_fused_encoder.py for paired A/Bs.
-WIN_ROW_PROGRAMS = False
 
 
 def _erf(x):
@@ -228,26 +224,18 @@ def _window_attn_rows_grid_kernel(num_heads: int, win: int, qkv_ref,
         o_ref.dtype)
 
 
-def _window_attn_rows_grid_row_kernel(num_heads: int, win: int, nJ: int,
-                                      qkv_ref, bias_ref, bh_ref, bw_ref,
-                                      o_ref):
-    """Row-of-windows variant: one program per (batch, window-row) computes
-    all nJ windows of that row from ONE contiguous (win, nJ*win, 3C) DMA —
-    3x fewer programs and strictly row-major HBM reads."""
-    N = win * win
-    C3 = qkv_ref.shape[-1]
-    sel = _win_sel(win)
-    bias = bias_ref[:].astype(qkv_ref.dtype)
-    for j in range(nJ):
-        qkv = qkv_ref[0, 0, :, j, :, :].reshape(N, C3) + bias
-        o_ref[0, 0, :, j, :, :] = _win_attn_body(
-            num_heads, win, sel, qkv, bh_ref[0, 0, j], bw_ref[0, 0, j],
-            o_ref.dtype)
+# A row-of-windows program granularity (one program per (batch,
+# window-row) looping all nJ windows in-kernel: 3x fewer programs,
+# strictly row-contiguous DMA) was built and interpret-verified identical,
+# but the platform's AOT compile helper crashes on the larger unrolled
+# kernel body (HTTP 500 from tpu_compile_helper, 2026-08-18) — the same
+# wall that killed the v1/v2 grouped-window kernels
+# (tools/repro_aot_crash.py). Removed rather than shipped as a
+# crashing-by-config knob; per-window programs are the production path.
 
 
 def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
-                               num_heads: int, interpret: bool = False,
-                               row_programs: bool = False):
+                               num_heads: int, interpret: bool = False):
     """Windowed attention reading/writing the padded token GRID directly.
 
     Args:
@@ -257,9 +245,6 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
       qkv_bias: [3C].
       bh / bw: [B, Hp//win, Wp//win, H, N, win] per-head bias rows
         (q+qb) . Rh / Rw in token order n = i*win + j.
-      row_programs: one program per (batch, window-row) computing all nJ
-        windows (fewer, bigger programs with row-contiguous DMA) instead
-        of one per window.
     Returns [B, Hp, Wp, C] attention output on the padded grid.
     """
     B, Hp, Wp, C3 = qkv_grid.shape
@@ -274,33 +259,24 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
     # window axes FULL array dims, so (1,1,ws,1,ws,3C) blocks are legal and
     # the DMA engine gathers window tiles straight from the grid layout.
     qkv6 = qkv_grid.reshape(B, nI, win, nJ, win, C3)
-    nj_blk = nJ if row_programs else 1
     win_blk = lambda c: pl.BlockSpec(
-        (1, 1, win, nj_blk, win, c),
-        (lambda b, i: (b, i, 0, 0, 0, 0)) if row_programs
-        else (lambda b, i, j: (b, i, 0, j, 0, 0)),
+        (1, 1, win, 1, win, c), lambda b, i, j: (b, i, 0, j, 0, 0),
         memory_space=pltpu.VMEM)
-    rows_blk = pl.BlockSpec(
-        (1, 1, nj_blk, num_heads, N, win),
-        (lambda b, i: (b, i, 0, 0, 0, 0)) if row_programs
-        else (lambda b, i, j: (b, i, j, 0, 0, 0)),
-        memory_space=pltpu.VMEM)
-    bias_blk = pl.BlockSpec(
-        (C3,),
-        (lambda b, i: (0,)) if row_programs else (lambda b, i, j: (0,)),
-        memory_space=pltpu.VMEM)
-    kern = (
-        functools.partial(_window_attn_rows_grid_row_kernel, num_heads,
-                          win, nJ)
-        if row_programs
-        else functools.partial(_window_attn_rows_grid_kernel, num_heads,
-                               win)
-    )
     out6 = pl.pallas_call(
-        kern,
+        functools.partial(_window_attn_rows_grid_kernel, num_heads, win),
         out_shape=jax.ShapeDtypeStruct((B, nI, win, nJ, win, C), dt),
-        grid=(B, nI) if row_programs else (B, nI, nJ),
-        in_specs=[win_blk(C3), bias_blk, rows_blk, rows_blk],
+        grid=(B, nI, nJ),
+        in_specs=[
+            win_blk(C3),
+            pl.BlockSpec((C3,), lambda b, i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, num_heads, N, win),
+                         lambda b, i, j: (b, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, num_heads, N, win),
+                         lambda b, i, j: (b, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=win_blk(C),
         interpret=interpret,
     )(qkv6, qkv_bias.astype(dt), bh.astype(dt), bw.astype(dt))

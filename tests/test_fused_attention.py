@@ -246,8 +246,3 @@ def test_window_attention_rows_grid_matches_rows_kernel():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
     )
-
-    # row-of-windows program granularity must be numerically identical
-    got_row = window_attention_rows_grid(qkv_p, bias, bh, bw, win, heads,
-                                         interpret=True, row_programs=True)
-    np.testing.assert_array_equal(np.asarray(got_row), np.asarray(got))

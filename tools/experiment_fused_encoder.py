@@ -110,25 +110,8 @@ def main(only=None):
             )
         return fn
 
-    def fused_row():
-        # row_programs granularity: flip the trace-time module flag while
-        # tracing this variant only (each runner jits under its own value)
-        def fn(p, x):
-            from sam_road_tpu.ops import fused_block as _fb
-            old = _fb.WIN_ROW_PROGRAMS
-            _fb.WIN_ROW_PROGRAMS = True
-            try:
-                return encoder_forward_fused(
-                    p, x, sam_version="vit_b", img_size=512, window_size=14,
-                    dtype=jnp.bfloat16,
-                )
-            finally:
-                _fb.WIN_ROW_PROGRAMS = old
-        return fn
-
     for label, fn in [
         ("v3", fused()),
-        ("v3row", fused_row()),
     ]:
         if wanted is not None and label not in wanted:
             continue
