@@ -49,6 +49,28 @@ def _layer_norm2d(x, weight, bias, eps=1e-6):
     return y * weight + bias
 
 
+# Trace-time switch: compute the post-attention tail (proj + residual +
+# LN2 + MLP + residual) with plain XLA ops instead of the token-tiled
+# Pallas kernel. For same-process paired A/Bs
+# (tools/experiment_fused_encoder.py); production default False.
+XLA_TAIL = False
+
+
+def _tail_xla(x, out, attn, bp, dtype):
+    """XLA-op tail, numerics matching proj_ln_mlp_residual (fp32 x1/LN)."""
+    x1 = (x.astype(jnp.float32)
+          + (out @ attn["proj"]["kernel"].astype(dtype)).astype(jnp.float32)
+          + attn["proj"]["bias"].astype(jnp.float32))
+    h = _layer_norm(x1, bp["norm2"]["scale"], bp["norm2"]["bias"]).astype(dtype)
+    mid = jax.nn.gelu(
+        (h @ bp["mlp_lin1"]["kernel"].astype(dtype)).astype(jnp.float32)
+        + bp["mlp_lin1"]["bias"].astype(jnp.float32), approximate=False,
+    ).astype(dtype)
+    return (x1 + (mid @ bp["mlp_lin2"]["kernel"].astype(dtype)).astype(
+        jnp.float32) + bp["mlp_lin2"]["bias"].astype(jnp.float32)
+    ).astype(dtype)
+
+
 def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     """Windowed block, token-tiled fusion (kernel_version=3).
 
@@ -111,6 +133,8 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
         interpret=interp,
     )
     out = out_p[:, :H, :W, :]
+    if XLA_TAIL:
+        return _tail_xla(x, out, attn, bp, dtype)
     # whole post-attention tail (proj + residual + LN2 + MLP + residual)
     # in one token-tiled HBM pass; x1 never touches HBM
     return proj_ln_mlp_residual(
@@ -158,6 +182,8 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
         q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
         out = fused_attention(q_aug, k_aug, v, interp)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    if XLA_TAIL:
+        return _tail_xla(x, out, attn, bp, dtype)
     return proj_ln_mlp_residual(
         x.reshape(B * H * W, C), out.reshape(B * H * W, C),
         attn["proj"]["kernel"], attn["proj"]["bias"],

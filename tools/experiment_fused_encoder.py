@@ -110,8 +110,25 @@ def main(only=None):
             )
         return fn
 
+    def fused_xla_tail():
+        # XLA-op post-attention tail vs the token-tiled Pallas tail kernel:
+        # flip the trace-time flag while tracing this variant only
+        def fn(p, x):
+            from sam_road_tpu.models import fast_encoder as _fe
+            old = _fe.XLA_TAIL
+            _fe.XLA_TAIL = True
+            try:
+                return encoder_forward_fused(
+                    p, x, sam_version="vit_b", img_size=512, window_size=14,
+                    dtype=jnp.bfloat16,
+                )
+            finally:
+                _fe.XLA_TAIL = old
+        return fn
+
     for label, fn in [
         ("v3", fused()),
+        ("v3xt", fused_xla_tail()),
     ]:
         if wanted is not None and label not in wanted:
             continue
