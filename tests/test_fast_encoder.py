@@ -127,3 +127,35 @@ def test_fast_encoder_large_grid_global_fallback():
         )
     )
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fast_encoder_xla_tail_flag_parity():
+    """The XLA_TAIL A/B flag (tools/experiment_fused_encoder.py) must
+    keep the same numerics as the Pallas tail kernel."""
+    from sam_road_tpu.models import fast_encoder as fe
+
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=4, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+    params = jax.tree.map(
+        np.asarray, enc.init(jax.random.PRNGKey(2), jnp.asarray(x))["params"]
+    )
+    base = np.asarray(encoder_forward_fused(
+        params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+        window_size=4, dtype=jnp.float32, interpret=True,
+    ))
+    fe.XLA_TAIL = True
+    try:
+        alt = np.asarray(encoder_forward_fused(
+            params, jnp.asarray(x), sam_version="vit_t", img_size=96,
+            window_size=4, dtype=jnp.float32, interpret=True,
+        ))
+    finally:
+        fe.XLA_TAIL = False
+    np.testing.assert_allclose(alt, base, rtol=2e-5, atol=2e-5)
