@@ -37,6 +37,13 @@ def main(only=None):
             size=p.shape).astype(p.dtype),
         jax.tree.map(np.asarray, params),
     )
+    # CRITICAL: params must be DEVICE arrays. jit does not cache numpy
+    # inputs — every timed call would re-upload the full fp32 tree
+    # (~356 MB, 5-10 s on this link), swamping the compute deltas the
+    # A/B exists to measure (bug found 2026-08-18; earlier ratios from
+    # this tool were diluted toward 1.0 by exactly this).
+    params = jax.device_put(params)
+    x = jax.device_put(x)
 
     results = {}
 

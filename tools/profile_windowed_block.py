@@ -36,8 +36,9 @@ def main():
 
     blk = Block(dim=DIM, num_heads=HEADS, mlp_ratio=4.0, window_size=WS,
                 input_size=(GRID, GRID), dtype=DT)
-    bp = jax.tree.map(np.asarray,
-                      blk.init(jax.random.PRNGKey(0), x)["params"])
+    # device-resident params: numpy args re-upload per jit call (~28 MB
+    # here), which would add tens of ms/iter to every stage timing
+    bp = jax.device_put(blk.init(jax.random.PRNGKey(0), x)["params"])
 
     def stage_ln_qkv(bp, x):
         Bq, H, W, C = x.shape
