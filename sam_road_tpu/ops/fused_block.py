@@ -176,28 +176,48 @@ def _win_sel(win: int):
 
 def _win_attn_body(num_heads, win, sel, qkv, bh, bw, out_dtype):
     """One window's multi-head attention. qkv: (N, 3C) biased; bh/bw:
-    (H, N, win) bias rows; returns (win, win, C)."""
+    (H, N, win) bias rows; returns (win, win, C).
+
+    Two measured micro-optimizations (TPU probe 2026-08-18, ~0.3 ms of a
+    4.5 ms flagship dispatch):
+    - DEFERRED softmax normalization: out = (exp(s-m) @ v) / sum instead
+      of normalizing the (N, N) matrix — N*head_dim divides instead of
+      N*N (fp32-identical to ~1e-7; the bf16 rounding of p moves scale-
+      free, so TPU outputs shift within bf16 epsilon).
+    - MERGED score matmul when head_dim is a power of two (scale 2^-k is
+      then EXACT in bf16, so pre-scaling q is bit-identical to post-
+      scaling the fp32 scores): s = [q*scale | bh | bw] @ [k | sel^T]^T
+      computes q.k^T*scale + bias spread in ONE MXU dispatch (K=92 vs
+      64+28)."""
     N = win * win
     C = qkv.shape[-1] // 3
     head_dim = C // num_heads
     scale = head_dim ** -0.5
+    merged = head_dim & (head_dim - 1) == 0
+    selT = sel.T.astype(qkv.dtype)  # (N, 2*win)
     head_outs = []
     for head in range(num_heads):
         q = qkv[:, head * head_dim:(head + 1) * head_dim]
         k = qkv[:, C + head * head_dim: C + (head + 1) * head_dim]
         v = qkv[:, 2 * C + head * head_dim: 2 * C + (head + 1) * head_dim]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        bhw = jnp.concatenate(
-            [bh[head].astype(jnp.float32), bw[head].astype(jnp.float32)],
-            axis=-1,
-        )  # (N, 2*win)
-        s = s + jnp.dot(bhw, sel, preferred_element_type=jnp.float32)
+        if merged:
+            a = jnp.concatenate(
+                [q * jnp.asarray(scale, q.dtype), bh[head].astype(q.dtype),
+                 bw[head].astype(q.dtype)], axis=1)
+            kb = jnp.concatenate([k, selT], axis=1)
+            s = jnp.dot(a, kb.T, preferred_element_type=jnp.float32)
+        else:
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            bhw = jnp.concatenate(
+                [bh[head].astype(jnp.float32),
+                 bw[head].astype(jnp.float32)], axis=-1)
+            s = s + jnp.dot(bhw, sel, preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
         head_outs.append(
             jnp.dot(p.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)
+            / jnp.sum(p, axis=-1, keepdims=True)
         )
     out = jnp.concatenate(head_outs, axis=-1)  # (N, C)
     return out.reshape(win, win, C).astype(out_dtype)
@@ -224,18 +244,43 @@ def _window_attn_rows_grid_kernel(num_heads: int, win: int, qkv_ref,
         o_ref.dtype)
 
 
-# A row-of-windows program granularity (one program per (batch,
-# window-row) looping all nJ windows in-kernel: 3x fewer programs,
-# strictly row-contiguous DMA) was built and interpret-verified identical,
-# but the platform's AOT compile helper crashes on the larger unrolled
-# kernel body (HTTP 500 from tpu_compile_helper, 2026-08-18) — the same
-# wall that killed the v1/v2 grouped-window kernels
-# (tools/repro_aot_crash.py). Removed rather than shipped as a
-# crashing-by-config knob; per-window programs are the production path.
+# An UNROLLED row-of-windows granularity (one program per (batch,
+# window-row) with all nJ windows' bodies unrolled) crashed the platform
+# AOT compile helper (HTTP 500, 2026-08-18) — the same body-size wall as
+# the removed v1/v2 grouped kernels (tools/repro_aot_crash.py). The
+# ROLLED variant below keeps the body at one window (a lax.fori_loop
+# walks the row's windows with dynamic VMEM indexing), so the MLIR stays
+# per-window-sized while the program count drops nJ-fold.
+
+
+def _window_attn_rows_grid_rolled_kernel(num_heads: int, win: int, nJ: int,
+                                         qkv_ref, bias_ref, bh_ref, bw_ref,
+                                         o_ref):
+    """Row-of-windows with a ROLLED window loop: one program per (batch,
+    window-row); a fori_loop walks the nJ windows of the row, loading
+    each (win, win, 3C) tile from the row block with a dynamic index.
+    Same math as _window_attn_rows_grid_kernel, nJ-fold fewer programs,
+    kernel body size unchanged (the AOT helper's constraint)."""
+    N = win * win
+    C3 = qkv_ref.shape[-1]
+    C = C3 // 3
+    sel = _win_sel(win)
+    bias = bias_ref[:].astype(qkv_ref.dtype)
+
+    def body(j, carry):
+        qkv = qkv_ref[0, 0, :, pl.ds(j, 1), :, :].reshape(N, C3) + bias
+        bh = bh_ref[0, 0, pl.ds(j, 1), :, :, :].reshape(num_heads, N, win)
+        bw = bw_ref[0, 0, pl.ds(j, 1), :, :, :].reshape(num_heads, N, win)
+        out = _win_attn_body(num_heads, win, sel, qkv, bh, bw, o_ref.dtype)
+        o_ref[0, 0, :, pl.ds(j, 1), :, :] = out.reshape(win, 1, win, C)
+        return carry
+
+    jax.lax.fori_loop(0, nJ, body, 0)
 
 
 def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
-                               num_heads: int, interpret: bool = False):
+                               num_heads: int, interpret: bool = False,
+                               rolled_rows: bool = False):
     """Windowed attention reading/writing the padded token GRID directly.
 
     Args:
@@ -259,6 +304,28 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
     # window axes FULL array dims, so (1,1,ws,1,ws,3C) blocks are legal and
     # the DMA engine gathers window tiles straight from the grid layout.
     qkv6 = qkv_grid.reshape(B, nI, win, nJ, win, C3)
+    if rolled_rows:
+        win_blk = lambda c: pl.BlockSpec(
+            (1, 1, win, nJ, win, c), lambda b, i: (b, i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        rows_blk = pl.BlockSpec(
+            (1, 1, nJ, num_heads, N, win), lambda b, i: (b, i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        out6 = pl.pallas_call(
+            functools.partial(_window_attn_rows_grid_rolled_kernel,
+                              num_heads, win, nJ),
+            out_shape=jax.ShapeDtypeStruct((B, nI, win, nJ, win, C), dt),
+            grid=(B, nI),
+            in_specs=[
+                win_blk(C3),
+                pl.BlockSpec((C3,), lambda b, i: (0,),
+                             memory_space=pltpu.VMEM),
+                rows_blk, rows_blk,
+            ],
+            out_specs=win_blk(C),
+            interpret=interpret,
+        )(qkv6, qkv_bias.astype(dt), bh.astype(dt), bw.astype(dt))
+        return out6.reshape(B, Hp, Wp, C)
     win_blk = lambda c: pl.BlockSpec(
         (1, 1, win, 1, win, c), lambda b, i, j: (b, i, 0, j, 0, 0),
         memory_space=pltpu.VMEM)
