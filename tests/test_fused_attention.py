@@ -246,3 +246,8 @@ def test_window_attention_rows_grid_matches_rows_kernel():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
     )
+
+    # rolled-rows granularity (fori_loop over a row's windows) must agree
+    got_r = window_attention_rows_grid(qkv_p, bias, bh, bw, win, heads,
+                                       interpret=True, rolled_rows=True)
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(got))
