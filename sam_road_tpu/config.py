@@ -119,6 +119,13 @@ DEFAULTS: dict = {
     # phase-2 grouped score fetch in k dispatch-ordered waves: wave 1's
     # transfer rides under the later batches' TopoNet time
     "INFER_P2_FETCH_WAVES": 1,
+    # pack all batches' phase-2 pair args into ONE upload per arg kind
+    # (3 transfers instead of 3 per batch), sliced per batch on device;
+    # scores exactly unchanged. Paired TPU A/B: LOST every round
+    # (median -0.102 s/region) — the per-batch arg transfers are tiny
+    # and pipelined, while packing delays every dispatch until all
+    # batches are built. Default off; kept for slower links.
+    "INFER_P2_PACK_ARGS": False,
     "FUSED_ENCODER": False,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts

@@ -790,6 +790,17 @@ class TiledInferenceEngine:
         fine = {"p2_build": 0.0, "p2_dispatch": 0.0, "p2_fetch": 0.0}
         from sam_road_tpu.inference.pairs import build_pairs_for_boxes
 
+        # Packed arg upload: each per-batch device_put of the three pair
+        # args is a separate host-link transfer; 8 batches x 3 args
+        # serialize ~24 small RTT-bound transfers behind the scoring
+        # queue. Packing all batches into ONE buffer per arg kind (3
+        # transfers total) and slicing per batch ON DEVICE keeps the
+        # per-batch program shapes — and therefore scores — exactly
+        # identical. Single-chip only; the sharded path keeps per-batch
+        # puts (its args are placed per shard).
+        pack = bool(cfg.INFER_P2_PACK_ARGS) and self.n_shards == 1
+        built = []  # (feats_b, per_patch, bpoints, btgt, bvalid_packed, S)
+
         for feats_b, info in batches:
             tloop = time.time()
             # one native call per batch: box gather + kNN + pair layout for
@@ -827,6 +838,10 @@ class TiledInferenceEngine:
             bvalid_packed = np.packbits(bvalid, axis=-1)
             fine["p2_build"] += time.time() - tloop
 
+            if pack:
+                built.append(
+                    (feats_b, per_patch, bpoints, btgt, bvalid_packed, S))
+                continue
             # dispatch only (async) — fetching here would serialize host
             # pair-building with device scoring. Sharded feats arrive as
             # [n, b, h, w, C] and merge to the batch axis inside the jit.
@@ -837,6 +852,29 @@ class TiledInferenceEngine:
             )
             fine["p2_dispatch"] += time.time() - tdisp
             pending.append((scores_dev, per_patch))
+
+        if pack and built:
+            tdisp = time.time()
+            nb = len(built)
+            S_max = max(e[5] for e in built)
+            pb = built[0][4].shape[-1]
+            pk_pts = np.zeros((nb, B, S_max, 2), np.uint16)
+            pk_tgt = np.zeros((nb, B, S_max, max_nbr), np.int16)
+            pk_val = np.zeros((nb, B, S_max, pb), np.uint8)
+            for i, (_, _, bp_a, bt_a, bv_a, S) in enumerate(built):
+                pk_pts[i, :, :S] = bp_a
+                pk_tgt[i, :, :S] = bt_a
+                pk_val[i, :, :S] = bv_a
+            dev_pts = jnp.asarray(pk_pts)
+            dev_tgt = jnp.asarray(pk_tgt)
+            dev_val = jnp.asarray(pk_val)
+            for i, (feats_b, per_patch, _, _, _, S) in enumerate(built):
+                scores_dev = self._phase2(
+                    self.params, feats_b, dev_pts[i, :, :S],
+                    dev_tgt[i, :, :S], dev_val[i, :, :S],
+                )
+                pending.append((scores_dev, per_patch))
+            fine["p2_dispatch"] += time.time() - tdisp
 
         # Fetch pending scores with ONE host transfer per distinct shape
         # bucket (typically one): each np.asarray on a remote-attached TPU

@@ -232,3 +232,31 @@ def test_p2_fetch_waves_exact(tiny_setup):
     np.testing.assert_array_equal(rd0, rd1)
     np.testing.assert_array_equal(n0, n1)
     np.testing.assert_array_equal(e0, e1)
+
+
+def test_p2_packed_args_exact(tiny_setup):
+    """INFER_P2_PACK_ARGS ships all batches' pair args in one upload per
+    kind and slices per batch on device; per-batch program shapes are
+    unchanged, so the graph must be exactly the unpacked path's."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
+    shared = {k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}
+    plain = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_P2_PACK_ARGS": False}),
+        params, point_bucket=16,
+    )
+    packed = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_P2_PACK_ARGS": True}),
+        params, point_bucket=16,
+    )
+    n0, e0, kp0, rd0 = plain.infer_one_img(img)
+    n1, e1, kp1, rd1 = packed.infer_one_img(img)
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
