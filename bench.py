@@ -28,6 +28,10 @@ import numpy as np
 
 REF_A100_REGION_SECONDS = 8.5  # derived central value, see module docstring
 REF_RANGE_SECONDS = (6.4, 10.6)  # optimistic/pessimistic sensitivity bounds
+# 512px-tile throughput central estimate for the reference on A100
+# (patches/s over device + dispatch time; tools/baseline_derivation.py
+# `ref_a100_tiles_per_sec`, sensitivity 28.4-53.5).
+REF_A100_TILES_PER_SEC = 37.1
 
 
 def main():
@@ -93,20 +97,26 @@ def main():
         canary_measure = None
 
     times = []
+    run_timings = []
     for _ in range(7):
         t0 = time.time()
         engine.infer_one_img(img)
         times.append(time.time() - t0)
+        run_timings.append(dict(engine.last_timings))
+    base7_median = float(np.median(times))
     # Weather states persist for minutes, so 7 back-to-back runs (~20 s)
     # can all sit inside one degraded window while the canary still reads
     # fine on the matmul axis (link RTT degrades independently). If the
-    # tight minimum looks degraded vs the engine's recorded capability
-    # (1.778 s at a 92 TFLOP/s SUB-healthy canary; projects ~1.6-1.7 at
-    # the chip's measured-healthy 119-139), take extra runs SPACED across
-    # a bounded window so at least one lands in a healthy state; the
-    # metric stays min over ALL runs, every run is recorded.
+    # tight minimum reads degraded vs MEASURED capability (best driver-
+    # captured record 1.778 s; trigger 1.85 s sits ABOVE it so a normal-
+    # weather batch does not re-sample), take extra runs SPACED across a
+    # bounded window so at least one lands outside the degraded state;
+    # the metric stays min over ALL runs, every run is recorded and the
+    # trigger is reported (`resample_triggered`, `n_extra_runs`).
+    RESAMPLE_TRIGGER_S = 1.85  # above the 1.778 s measured record
     extra_budget = 300.0
-    while float(np.min(times)) > 1.75 and extra_budget > 0.0:
+    resample_triggered = float(np.min(times)) > RESAMPLE_TRIGGER_S
+    while float(np.min(times)) > RESAMPLE_TRIGGER_S and extra_budget > 0.0:
         time.sleep(30.0)
         extra_budget -= 30.0
         t0 = time.time()
@@ -114,7 +124,10 @@ def main():
         dt = time.time() - t0
         extra_budget -= dt
         times.append(dt)
-    region_s = float(np.min(times))
+        run_timings.append(dict(engine.last_timings))
+    best = int(np.argmin(times))
+    region_s = float(times[best])
+    best_timings = run_timings[best]
     if canary_measure is not None:
         try:
             canary = {"before": canary, "after": canary_measure(reps=2),
@@ -135,10 +148,27 @@ def main():
                         round(REF_RANGE_SECONDS[0] / region_s, 2),
                         round(REF_RANGE_SECONDS[1] / region_s, 2),
                     ],
-                    "median_s": round(float(np.median(times)), 3),
+                    "median_base7_s": round(base7_median, 3),
+                    "median_all_s": round(float(np.median(times)), 3),
                     "all_runs_s": [round(t, 3) for t in times],
+                    "resample_triggered": resample_triggered,
+                    "n_extra_runs": len(times) - 7,
                     "device_canary": canary,
-                    "timings": {k: round(v, 3) for k, v in engine.last_timings.items()},
+                    # timings of the BEST run (the one `value` reports)
+                    "timings": {k: round(v, 3) for k, v in best_timings.items()},
+                    # Second north-star metric (BASELINE.json): 512px tile
+                    # throughput per chip. Patches are processed in phase 1
+                    # (encoder fwd + mask fusion — the analog of reference
+                    # inferencer.py:87-104); 256 patches per region. The
+                    # A100 reference throughput is the auditable derivation
+                    # in tools/baseline_derivation.py (`ref_a100_tiles_per_sec`
+                    # central: device fp32 band + dispatch band).
+                    "tiles_per_sec_per_chip": round(
+                        256.0 / best_timings["phase1"], 1),
+                    "ref_a100_tiles_per_sec": REF_A100_TILES_PER_SEC,
+                    "vs_baseline_tiles_per_sec": round(
+                        (256.0 / best_timings["phase1"])
+                        / REF_A100_TILES_PER_SEC, 2),
                     "nodes": int(nodes.shape[0]),
                     "edges": int(edges.shape[0]),
                 },

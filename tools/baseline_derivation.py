@@ -224,6 +224,17 @@ def main():
         "ref_region_seconds": {"optimistic": round(fast, 1),
                                "pessimistic": round(slow, 1),
                                "central": round(central, 1)},
+        # 512px tile (patch) throughput: patches are processed in pass 1
+        # (inferencer.py:87-104 — encoder fwd + mask accumulation), so the
+        # per-tile denominator is device time + the upload/dispatch band;
+        # host graph loops are per-region, not per-tile.
+        "ref_a100_tiles_per_sec": {
+            "optimistic": round(n_patches / (t_dev_fast + t_disp_fast), 1),
+            "pessimistic": round(n_patches / (t_dev_slow + t_disp_slow), 1),
+            "central": round(
+                n_patches / ((t_dev_fast + t_dev_slow) / 2
+                             + (t_disp_fast + t_disp_slow) / 2), 1),
+        },
         "ref_region_seconds_if_tf32": {
             "optimistic": round(t_dev_tf32[0] + host + t_disp_fast, 1),
             "pessimistic": round(t_dev_tf32[1] + host + t_disp_slow, 1),
