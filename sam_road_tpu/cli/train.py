@@ -61,6 +61,17 @@ def main(argv=None):
         print("\n".join(matched[:20] + [f"... {len(matched)} total"]))
         print("###### Mismatched params ######")
         print("\n".join(mismatched))
+    elif (config.NO_SAM and config.MAE_CKPT_PATH
+          and os.path.exists(config.MAE_CKPT_PATH)):
+        # Reference ablation init: IN1k-MAE ViT-B trunk, no SA-1B
+        # (reference: vitdet.py:43-110; pos_embed/rel_pos/neck stay init).
+        from sam_road_tpu.models.convert import load_mae_encoder_params
+
+        params, matched, mismatched = load_mae_encoder_params(
+            config.MAE_CKPT_PATH, config)
+        print("###### Matched params (MAE init) ######")
+        print("\n".join(matched[:20] + [f"... {len(matched)} total"]))
+        print(f"({len(mismatched)} params stay at random init)")
     else:
         print("training from random init (no SAM checkpoint found)")
 

@@ -89,6 +89,9 @@ DEFAULTS: dict = {
     "NO_SAM": False,
     "SAM_VERSION": "vit_b",
     "SAM_CKPT_PATH": "sam_ckpts/sam_vit_b_01ec64.pth",
+    # NO_SAM ablation encoder init: IN1k-MAE ViT-B trunk (reference
+    # experiment: vitdet.py:78-105). Empty = random init.
+    "MAE_CKPT_PATH": "",
     "PATCH_SIZE": 512,
     # Training
     "BATCH_SIZE": 16,
@@ -158,6 +161,12 @@ DEFAULTS: dict = {
     "COMPUTE_DTYPE": "bfloat16",
     # Device mesh: number of data-parallel shards. 0/absent => all devices.
     "DP_SHARDS": 0,
+    # Sequence parallelism for region inference: shard each patch's encoder
+    # TOKEN GRID row-wise over a mesh of this size (parallel/seq_parallel.py)
+    # — the scale-out for big patches (1024px+, vit_l/h), where DP_SHARDS
+    # scales big regions. Requires (PATCH_SIZE/16) % SP_SHARDS == 0;
+    # mutually exclusive with DP_SHARDS. 0/1 => off.
+    "SP_SHARDS": 0,
     # Gradient checkpointing of encoder blocks (trades FLOPs for HBM).
     "REMAT_ENCODER": False,
     # Profiling trace dir; empty disables.

@@ -230,6 +230,80 @@ def convert_state_dict(state_dict: dict, image_size: int,
     return {"params": params, "converted": converted, "skipped": skipped}
 
 
+def convert_mae_state_dict(state_dict: dict) -> dict:
+    """IN1k-MAE ViT-B checkpoint ('model' dict of mae_pretrain_vit_base.pth)
+    -> encoder param subtree for the NO_SAM ablation init.
+
+    Implements the reference ablation's INTENDED load semantics
+    (reference: vitdet.py:78-105): name+shape partial intersection of the MAE
+    trunk weights with a ViTDet-family encoder —
+
+    - patch_embed + every block's norm1/norm2, attn.qkv, attn.proj and MLP
+      (MAE names fc1/fc2, SAM-family names lin1/lin2) transfer;
+    - pos_embed does NOT (MAE's is [1, 197, 768] with a cls token; the
+      ViTDet grid embed is [1, H, W, C] — shape mismatch, and the resize
+      path is commented out in the reference, vitdet.py:85-88);
+    - rel_pos_h/w do NOT exist in MAE (plain ViT pretraining) and stay init;
+    - cls_token / mask_token / final norm have no ViTDet counterpart.
+
+    NOTE the reference's shipped code never actually applied these weights:
+    vitdet.py:80 prefixes every checkpoint key with 'vitb.' and then loads
+    the prefixed dict into `self.vitb` itself (vitdet.py:105) with
+    strict=False, so zero keys match and the encoder silently trains from
+    random init (its printed "Matched params" list is computed against
+    `self.named_parameters()`, which DOES carry the prefix — masking the
+    bug). Like the reference's broken --resume flag, we implement what the
+    code plainly intends rather than reproducing the silent no-op; the
+    deviation is recorded in docs/PARITY.md row 28.
+    """
+    params: dict = {}
+    converted, skipped = [], []
+
+    def put(path, arr):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(arr, dtype=np.float32)
+
+    for key, v in state_dict.items():
+        value = _t(v) if hasattr(v, "detach") else np.asarray(v)
+        # MAE trunk -> SAM-family encoder naming (mlp.fc* -> mlp.lin*).
+        sam_key = key.replace(".mlp.fc1.", ".mlp.lin1.").replace(
+            ".mlp.fc2.", ".mlp.lin2.")
+        out = None
+        if sam_key != "pos_embed":  # shape-mismatch exclusion (see docstring)
+            out = _convert_encoder_key(sam_key, value)
+        if out is None:
+            skipped.append(key)
+        else:
+            put(("image_encoder",) + out[0], out[1])
+            converted.append(key)
+    return {"params": params, "converted": converted, "skipped": skipped}
+
+
+def load_mae_encoder_params(path: str, config):
+    """NO_SAM ablation init: overlay an IN1k-MAE ViT-B checkpoint's trunk
+    onto a fresh init (reference experiment: vitdet.py:43-110; published
+    road F1 0.3363 in config/toponet_vitb_512_cityscale_no_sam.yaml).
+
+    Returns (merged_params, matched_names, mismatched_names)."""
+    import torch
+
+    from sam_road_tpu.models.sam_road import init_params
+
+    with open(path, "rb") as f:
+        obj = torch.load(f, map_location="cpu", weights_only=False)
+    if isinstance(obj, Mapping) and "model" in obj:
+        obj = obj["model"]  # MAE release nesting (reference: vitdet.py:79)
+    conv = convert_mae_state_dict(dict(obj))
+    init_tree = init_params(config)
+    import jax
+
+    init_np = jax.tree.map(np.asarray, init_tree)
+    merged, matched, mismatched = overlay_params(init_np, conv["params"])
+    return merged, matched, mismatched
+
+
 def overlay_params(init_tree, loaded_tree, prefix=()):
     """Overlay loaded arrays onto an init pytree by name+shape match
     (reference partial-load semantics: model.py:375-390).

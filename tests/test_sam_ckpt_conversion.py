@@ -88,6 +88,7 @@ def test_fake_sam_vit_b_converts_fully(tmp_path):
     )
 
 
+@pytest.mark.slow  # ~4 min: vit_l/h full-shape conversion (vit_b stays in default set)
 @pytest.mark.parametrize(
     "version,dim,depth,heads,global_idx,quirk_windowed",
     [
@@ -217,6 +218,73 @@ def test_verify_real_ckpt_tool_dryrun(tmp_path):
                      out=lambda *a: lines.append(" ".join(map(str, a))))
     assert worst < 1e-3, worst
     assert any("matched params" in l for l in lines)
+
+
+def _fake_mae_vit_b_state_dict():
+    """Tensor shapes of the official mae_pretrain_vit_base.pth 'model' dict
+    (plain timm ViT-B/16 trunk: cls token, 197-token pos embed, fused qkv,
+    fc1/fc2 MLP naming, final norm — no rel_pos, no neck)."""
+    dim = 768
+    sd = {}
+    sd["cls_token"] = torch.randn(1, 1, dim)
+    sd["pos_embed"] = torch.randn(1, 197, dim)
+    sd["patch_embed.proj.weight"] = torch.randn(dim, 3, 16, 16)
+    sd["patch_embed.proj.bias"] = torch.randn(dim)
+    for i in range(12):
+        p = f"blocks.{i}"
+        for nm in ("norm1", "norm2"):
+            sd[f"{p}.{nm}.weight"] = torch.randn(dim)
+            sd[f"{p}.{nm}.bias"] = torch.randn(dim)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * dim, dim)
+        sd[f"{p}.attn.qkv.bias"] = torch.randn(3 * dim)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(dim, dim)
+        sd[f"{p}.attn.proj.bias"] = torch.randn(dim)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(4 * dim, dim)
+        sd[f"{p}.mlp.fc1.bias"] = torch.randn(4 * dim)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(dim, 4 * dim)
+        sd[f"{p}.mlp.fc2.bias"] = torch.randn(dim)
+    sd["norm.weight"] = torch.randn(dim)
+    sd["norm.bias"] = torch.randn(dim)
+    return sd
+
+
+def test_fake_mae_vit_b_no_sam_init(tmp_path):
+    """NO_SAM ablation init from a fake full-shape MAE checkpoint
+    (reference experiment: vitdet.py:43-110): the trunk transfers, while
+    pos_embed (shape mismatch), rel_pos (absent from plain-ViT MAE), the
+    neck and all heads stay at random init."""
+    from sam_road_tpu.config import load_config
+    from sam_road_tpu.models.convert import load_mae_encoder_params
+
+    sd = _fake_mae_vit_b_state_dict()
+    path = tmp_path / "mae_pretrain_vit_base_fake.pth"
+    torch.save({"model": sd}, str(path))  # MAE release nesting (vitdet.py:79)
+
+    cfg = load_config(overrides=dict(
+        NO_SAM=True, SAM_VERSION="vit_b", PATCH_SIZE=512,
+        MAE_CKPT_PATH=str(path), COMPUTE_DTYPE="float32",
+    ))
+    params, matched, mismatched = load_mae_encoder_params(str(path), cfg)
+
+    # trunk coverage: patch embed + 12 blocks x (2 LN + qkv + proj + 2 MLP)
+    # x (weight, bias) = 2 + 12*12 = 146 matched encoder params
+    assert all(m.startswith("image_encoder") for m in matched)
+    assert len(matched) == 2 + 12 * 12, len(matched)
+    # excluded-by-semantics params stay init
+    for name in ("image_encoder.pos_embed",
+                 "image_encoder.blocks_0.attn.rel_pos_h",
+                 "image_encoder.blocks_11.attn.rel_pos_w",
+                 "image_encoder.neck_0.kernel"):
+        assert name in mismatched, name
+    assert any(m.startswith("map_decoder") for m in mismatched)
+    assert any(m.startswith("topo_net") for m in mismatched)
+    # fc1/fc2 -> lin1/lin2 rename + layout transpose survive
+    np.testing.assert_allclose(
+        params["image_encoder"]["blocks_3"]["mlp_lin1"]["kernel"],
+        sd["blocks.3.mlp.fc1.weight"].numpy().T, rtol=1e-6)
+    np.testing.assert_allclose(
+        params["image_encoder"]["blocks_7"]["attn"]["qkv"]["kernel"],
+        sd["blocks.7.attn.qkv.weight"].numpy().T, rtol=1e-6)
 
 
 def test_samroad_lightning_ckpt_with_lora_converts(tmp_path):
