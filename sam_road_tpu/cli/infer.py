@@ -76,19 +76,26 @@ def main(argv=None):
     # inference/engine.py). Same config key the Trainer uses.
     mesh = None
     n_shards = int(config.DP_SHARDS or 0)
-    if n_shards > 1:
+    sp_shards = int(config.SP_SHARDS or 0)
+    assert not (n_shards > 1 and sp_shards > 1), (
+        "DP_SHARDS and SP_SHARDS are mutually exclusive (spatial patch "
+        "banding vs token-row sharding of one patch)")
+    want = max(n_shards, sp_shards)
+    if want > 1:
         import jax
 
         from sam_road_tpu.parallel.mesh import make_mesh
 
         avail = len(jax.devices())
-        if avail >= n_shards:
-            mesh = make_mesh(n_shards)
-            print(f"sharding the patch grid over {n_shards} devices")
+        if avail >= want:
+            mesh = make_mesh(want)
+            kind = ("patch grid" if n_shards > 1
+                    else "encoder token grid (sequence parallel)")
+            print(f"sharding the {kind} over {want} devices")
         else:
             print(
-                f"DP_SHARDS={n_shards} requested but only {avail} device(s) "
-                "visible; running single-device"
+                f"{'DP' if n_shards > 1 else 'SP'}_SHARDS={want} requested "
+                f"but only {avail} device(s) visible; running single-device"
             )
     engine = TiledInferenceEngine(config, params, mesh=mesh)
     import cv2

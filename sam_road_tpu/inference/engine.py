@@ -73,11 +73,35 @@ class TiledInferenceEngine:
         self.config = config
         self.model = build_model(config)
         self.mesh = mesh
-        self.n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        # SP_SHARDS > 1: the mesh is used for SEQUENCE parallelism (token-row
+        # sharding of each patch's encoder, parallel/seq_parallel.py) instead
+        # of spatial patch banding — the scale-out for BIG PATCHES (1024px+,
+        # vit_l/h) rather than big regions (SURVEY §2.2 SP row).
+        self.sp_shards = int(config.SP_SHARDS or 0)
+        if self.sp_shards > 1 and mesh is None:
+            print(f"SP_SHARDS={self.sp_shards} requested without a mesh; "
+                  "running single-device", flush=True)
+            self.sp_shards = 0
+        if self.sp_shards > 1:
+            assert int(np.prod(mesh.devices.shape)) == self.sp_shards, (
+                f"SP_SHARDS={self.sp_shards} needs a mesh of that size")
+            grid = int(config.PATCH_SIZE) // 16
+            assert grid % self.sp_shards == 0, (
+                f"token grid rows {grid} must divide by SP_SHARDS "
+                f"{self.sp_shards}")
+            self.n_shards = 1  # mesh drives SP, not spatial dp banding
+        else:
+            self.n_shards = (
+                int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+            )
         self.point_bucket = point_bucket
         self.patch_size = int(config.PATCH_SIZE)
         self.batch_size = int(config.INFER_BATCH_SIZE)
         self._fused_encoder = bool(config.FUSED_ENCODER)
+        if self._fused_encoder and self.sp_shards > 1:
+            print("FUSED_ENCODER disabled under SP_SHARDS: the sequence-"
+                  "parallel path uses its own collective encoder", flush=True)
+            self._fused_encoder = False
         if self._fused_encoder:
             assert not self.model.spec.use_sam_decoder and \
                 self.model.spec.lora_rank == 0, (
@@ -105,6 +129,11 @@ class TiledInferenceEngine:
             self._rep = NamedSharding(mesh, P())
             self._shard = NamedSharding(mesh, P("dp"))
             self.params = jax.device_put(params, self._rep)
+        elif self.sp_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+            self._phase1_region = self._make_sp_phase1_region(mesh)
         else:
             self.params = jax.device_put(params)
             self._phase1_region = jax.jit(self._phase1_region_impl)
@@ -149,7 +178,7 @@ class TiledInferenceEngine:
     MASK_QUANT = 1024.0
 
     def _phase1_impl(self, params, img_u8, x0s, y0s, fused, counter, weights,
-                     y_off=0):
+                     y_off=0, mf_fn=None):
         """One patch batch: on-device patch crops + masks + features + fusion.
 
         img_u8: [H, W, 3] uint8 — the whole region, resident in HBM (shipped
@@ -164,7 +193,7 @@ class TiledInferenceEngine:
             lambda x0, y0: jax.lax.dynamic_slice(img_u8, (y0, x0, 0), (p, p, 3))
         )(x0s, y0s)
         rgb = patches_u8.astype(jnp.float32)
-        mask_scores, feats = self._infer_masks_feats(params, rgb)
+        mask_scores, feats = (mf_fn or self._infer_masks_feats)(params, rgb)
         quant = jnp.round(
             mask_scores.astype(jnp.float32) * self.MASK_QUANT
         ).astype(jnp.int32)
@@ -184,7 +213,8 @@ class TiledInferenceEngine:
         )
         return feats, fused, counter
 
-    def _phase1_region_impl(self, params, img_u8, x0s, y0s, weights):
+    def _phase1_region_impl(self, params, img_u8, x0s, y0s, weights,
+                            mf_fn=None):
         """Whole-region phase 1 as ONE program: lax.scan over patch batches.
 
         A per-batch call pays ~40 ms of host-link latency on remote-attached
@@ -202,7 +232,7 @@ class TiledInferenceEngine:
             fused, counter = carry
             bx, by, bw = xyw
             feats, fused, counter = self._phase1_impl(
-                params, img_u8, bx, by, fused, counter, bw
+                params, img_u8, bx, by, fused, counter, bw, mf_fn=mf_fn
             )
             return (fused, counter), feats
 
@@ -219,6 +249,62 @@ class TiledInferenceEngine:
         avg = fused.astype(jnp.float32) / denom[..., None]
         avg = jnp.where(counter[..., None] > 0, avg, 0.0)
         return (avg * 255.0).astype(jnp.uint8)
+
+    # ---------- sequence-parallel phase 1 (token-row sharding) ----------
+
+    def _make_sp_phase1_region(self, mesh):
+        """Whole-region phase 1 with every patch's ENCODER token-sharded over
+        the mesh (parallel/seq_parallel.py): each device computes a 1/n row
+        band of every patch's token grid; windowed attention all-gathers the
+        grid and computes a 1/n window slice, global attention runs
+        gathered-KV. Patch cropping, the decoder and the int32 mask fusion
+        run replicated (cheap next to the encoder at the SP-relevant
+        1024px+/vit_l+ geometries). Same signature as the single-device
+        `_phase1_region` program, so `_run_phase1`'s plain path drives it
+        unchanged."""
+        from jax.sharding import PartitionSpec as P
+
+        from sam_road_tpu.parallel.seq_parallel import make_sp_encoder_body
+
+        spec = self.model.spec
+        axis = mesh.axis_names[0]
+        n = self.sp_shards
+        enc_body = make_sp_encoder_body(
+            sam_version=spec.sam_version, img_size=spec.patch_size,
+            dtype=spec.dtype, n=n, axis=axis,
+        )
+        rows_px = self.patch_size // n
+
+        def mf_fn(params, rgb):
+            from sam_road_tpu.models.decoder import MapDecoder
+            from sam_road_tpu.models.sam_road import PIXEL_MEAN, PIXEL_STD
+
+            mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
+            std = jnp.asarray(PIXEL_STD, jnp.float32)
+            x = (rgb.astype(jnp.float32) - mean) / std
+            d = jax.lax.axis_index(axis)
+            x_band = jax.lax.dynamic_slice_in_dim(
+                x, d * rows_px, rows_px, axis=1
+            )
+            emb = enc_body(params["image_encoder"], x_band)
+            logits = MapDecoder(dtype=spec.dtype).apply(
+                {"params": params["map_decoder"]}, emb
+            )
+            return jax.nn.sigmoid(logits.astype(jnp.float32)), emb
+
+        def body(params, img_u8, x0s, y0s, weights):
+            return self._phase1_region_impl(
+                params, img_u8, x0s, y0s, weights, mf_fn=mf_fn
+            )
+
+        sharded = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(),) * 5,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     # ---------- sharded phase 1 (band accumulators) ----------
 
@@ -708,7 +794,8 @@ class TiledInferenceEngine:
                         )
                 batches.append((feats[:, r], info))
         elif (
-            bool(cfg.INFER_STREAM_PHASE1)
+            self.sp_shards <= 1  # streamed/banded programs are not SP-aware
+            and bool(cfg.INFER_STREAM_PHASE1)
             and patch_num > B
             and (plan := self._stream_plan(
                 all_patch_info, image_size,
@@ -718,7 +805,8 @@ class TiledInferenceEngine:
             batches, masks_dev = self._phase1_streamed(
                 img, all_patch_info, plan
             )
-        elif int(cfg.INFER_UPLOAD_BANDS or 1) > 1 and patch_num > B:
+        elif (self.sp_shards <= 1
+              and int(cfg.INFER_UPLOAD_BANDS or 1) > 1 and patch_num > B):
             batches, masks_dev = self._phase1_banded_upload(
                 img, all_patch_info, int(cfg.INFER_UPLOAD_BANDS)
             )

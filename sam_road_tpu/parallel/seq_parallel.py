@@ -136,31 +136,26 @@ def _mlp(x, bp, dtype):
                 + bp["mlp_lin2"]["bias"].astype(dtype))
 
 
-def encoder_forward_sp(
-    params,
-    x,
-    mesh,
-    axis: str = "dp",
+def make_sp_encoder_body(
     sam_version: str = "vit_b",
     img_size: int = 1024,
     window_size: int = 14,
     dtype=jnp.float32,
+    n: int = 1,
+    axis: str = "dp",
 ):
-    """Token-sharded encoder forward. x: [B, H, W, 3] normalized image,
-    replicated or row-sharded; returns a replicated [B, h, w, 256] feature
-    map identical to ImageEncoderViT's output.
-
-    Requires grid_rows % n_devices == 0 (e.g. 1024px -> 64 rows on 1/2/4/8
-    devices). Drives collectives over mesh axis `axis`.
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    """Build the shard_map BODY of the token-sharded encoder: a callable
+    `body(encoder_params, x_band)` where x_band is this device's pixel-row
+    band [B, Hpx/n, W, 3] (normalized image) and the return value is the
+    full replicated [B, h, w, 256] feature map. Exposed separately so the
+    inference engine can embed the SP encoder inside its own shard_map
+    programs (SP_SHARDS engine mode) instead of going through
+    encoder_forward_sp's standalone jit."""
     spec = ENCODER_SPECS[sam_version]
     depth = spec["depth"]
     num_heads = spec["num_heads"]
     global_idx = set(spec["global_attn_indexes"])
 
-    n = int(np.prod(mesh.devices.shape))
     grid = img_size // 16
     assert grid % n == 0, (
         f"token grid rows {grid} must divide over {n} devices"
@@ -253,6 +248,34 @@ def encoder_forward_sp(
             out, params["neck_3"]["weight"], params["neck_3"]["bias"]
         ).astype(dtype)
         return out
+
+    return body
+
+
+def encoder_forward_sp(
+    params,
+    x,
+    mesh,
+    axis: str = "dp",
+    sam_version: str = "vit_b",
+    img_size: int = 1024,
+    window_size: int = 14,
+    dtype=jnp.float32,
+):
+    """Token-sharded encoder forward. x: [B, H, W, 3] normalized image,
+    replicated or row-sharded; returns a replicated [B, h, w, 256] feature
+    map identical to ImageEncoderViT's output.
+
+    Requires grid_rows % n_devices == 0 (e.g. 1024px -> 64 rows on 1/2/4/8
+    devices). Drives collectives over mesh axis `axis`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = int(np.prod(mesh.devices.shape))
+    body = make_sp_encoder_body(
+        sam_version=sam_version, img_size=img_size, window_size=window_size,
+        dtype=dtype, n=n, axis=axis,
+    )
 
     # jit caches by callable identity, so memoize the wrapped program per
     # (mesh, geometry) — otherwise every call would re-trace and re-compile

@@ -73,6 +73,7 @@ def test_sharded_engine_batch_divisibility(setup):
         TiledInferenceEngine(cfg2, params, mesh=make_mesh(8))
 
 
+@pytest.mark.slow  # ~45 s: 4096px band accounting; exact-match sharding test stays default
 def test_band_memory_scales_with_mesh():
     """VERDICT r1 weak #5: per-chip fusion buffers must be O(H/n + P) rows,
     not full-region replicas. Proven on a large synthetic region: the band
@@ -105,6 +106,41 @@ def test_band_memory_scales_with_mesh():
     nodes, edges, kp, road = engine.infer_one_img(img)
     assert kp.shape == (image_size, image_size)
     assert road.shape == (image_size, image_size)
+
+
+def test_sp_engine_matches_single_device(setup):
+    """SP_SHARDS engine mode (token-row sharded encoder inside the region
+    program) vs the single-device engine: the SP encoder is numerically
+    flax-exact to ~2e-5 fp32 (tests/test_seq_parallel.py), so uint8 masks
+    agree to the last quantization step and extraction agrees on all but
+    threshold-razor pixels."""
+    cfg, params, img = setup
+    single = TiledInferenceEngine(cfg, params, point_bucket=16)
+    nodes1, edges1, kp1, road1 = single.infer_one_img(img)
+
+    # PATCH_SIZE 64 -> token grid 4 -> 4-way row sharding
+    cfg_sp = load_config(overrides={**cfg, "SP_SHARDS": 4})
+    mesh = make_mesh(4, jax.devices()[:4])
+    sp = TiledInferenceEngine(cfg_sp, params, point_bucket=16, mesh=mesh)
+    assert sp.sp_shards == 4 and sp.n_shards == 1
+    nodes4, edges4, kp4, road4 = sp.infer_one_img(img)
+
+    assert np.abs(kp1.astype(int) - kp4.astype(int)).max() <= 1
+    assert np.abs(road1.astype(int) - road4.astype(int)).max() <= 1
+    # extraction on near-identical masks: vertex sets differ at most by
+    # threshold-razor pixels
+    s1 = {tuple(map(int, n)) for n in nodes1}
+    s4 = {tuple(map(int, n)) for n in nodes4}
+    assert len(s1 ^ s4) <= max(2, len(s1) // 50), (len(s1), len(s4), s1 ^ s4)
+    assert nodes4.shape[0] > 0
+
+
+def test_sp_engine_rejects_bad_grid(setup):
+    cfg, params, _ = setup
+    # grid 4 cannot row-shard over 8 devices
+    cfg_sp = load_config(overrides={**cfg, "SP_SHARDS": 8})
+    with pytest.raises(AssertionError, match="must divide"):
+        TiledInferenceEngine(cfg_sp, params, mesh=make_mesh(8))
 
 
 def test_band_assignment_balances_rows():
