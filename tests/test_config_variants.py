@@ -49,6 +49,7 @@ def _one_step(cfg, tmp_path):
     return trainer
 
 
+@pytest.mark.slow  # trainer-variant tier: one representative train test stays default
 def test_remat_encoder_trains(tmp_path):
     _one_step(_cfg(REMAT_ENCODER=True), tmp_path)
 
@@ -57,10 +58,12 @@ def test_focal_loss_trains(tmp_path):
     _one_step(_cfg(FOCAL_LOSS=True), tmp_path)
 
 
+@pytest.mark.slow
 def test_sam_decoder_trains(tmp_path):
     _one_step(_cfg(USE_SAM_DECODER=True), tmp_path)
 
 
+@pytest.mark.slow
 def test_lora_trains_and_freezes_base(tmp_path):
     cfg = _cfg(ENCODER_LORA=True, LORA_RANK=2, FREEZE_ENCODER=True)
     params = init_params(cfg)

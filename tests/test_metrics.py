@@ -49,6 +49,7 @@ def test_apls_identical_graphs_near_one():
     assert m > 0.97, m
 
 
+@pytest.mark.slow  # ~80 s: degradation direction; native/python parity stays default
 def test_apls_degraded_graph_lower():
     gt = grid_adj()
     # drop several central edges -> detours -> APLS drops
