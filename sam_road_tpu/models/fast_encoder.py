@@ -31,7 +31,12 @@ from sam_road_tpu.ops.attention import (
     fused_attention,
 )
 from sam_road_tpu.ops.fused_block import window_attention_rows_grid
-from sam_road_tpu.ops.fused_ln import ln_dense, proj_ln_mlp_residual
+from sam_road_tpu.ops.fused_ln import (
+    ln_dense,
+    ln_dense_padded,
+    proj_ln_mlp_residual,
+    proj_ln_mlp_residual_grid,
+)
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -54,6 +59,29 @@ def _layer_norm2d(x, weight, bias, eps=1e-6):
 # Pallas kernel. For same-process paired A/Bs
 # (tools/experiment_fused_encoder.py); production default False.
 XLA_TAIL = False
+
+# Trace-time switch: pad-free windowed-block data path — LN+qkv writes the
+# window-padded grid DIRECTLY (ln_dense_padded) and the tail reads the
+# attention output from the padded grid (proj_ln_mlp_residual_grid), so
+# the jnp.pad pass and the unpad slice/reshape pass never materialize.
+# MEASURED NEGATIVE (2026-08-18, paired interleaved A/B, 5 rounds x2
+# configs): pad-free 129.3-129.9 ms vs padded 128.0-128.3 ms per B=32
+# forward — the XLA pad/unpad copies cost less than the strip kernels'
+# extra per-program overhead (rs=8 and rs=16 both tried), so the ~8 ms
+# projected HBM saving does not exist in practice. Default stays the
+# round-3 path; the kernels + flag remain for re-measurement on other
+# hardware (and they document the probed Mosaic facts: non-divisible
+# leading-dim blocks and dropped OOB stores are legal —
+# tools/probe_nondiv_blocks.py).
+PAD_FREE = False
+
+# Trace-time switches for the window-attention kernel granularity
+# (tools/experiment_fused_encoder.py A/B): WIN_GROUP_BATCH=G runs the same
+# window of G consecutive batch images per program via a ROLLED loop
+# (program count /G — the dispatch is latency-bound); WIN_ROLLED_ROWS
+# loops a window-row's nJ windows per program.
+WIN_GROUP_BATCH = 1
+WIN_ROLLED_ROWS = False
 
 
 def _tail_xla(x, out, attn, bp, dtype):
@@ -94,10 +122,6 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     interp = not on_tpu
     attn = bp["attn"]
 
-    qkv_nb = ln_dense(
-        x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
-        attn["qkv"]["kernel"], None, interpret=interp,
-    ).reshape(B, H, W, 3 * C)
     pad_h = (ws - H % ws) % ws
     pad_w = (ws - W % ws) % ws
     # pad slots stay exactly 0 (bias-free); the attention kernel adds the
@@ -105,7 +129,18 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     # semantics) WITHOUT a second full-activation bias pass, and the
     # window partition/unpartition transposes live in the kernel's block
     # index maps instead of HBM (window_attention_rows_grid).
-    qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    if PAD_FREE:
+        # LN+qkv writes the padded grid directly — no separate pad pass
+        qkv_p = ln_dense_padded(
+            x, bp["norm1"]["scale"], bp["norm1"]["bias"],
+            attn["qkv"]["kernel"], (pad_h, pad_w), interpret=interp,
+        )
+    else:
+        qkv_nb = ln_dense(
+            x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
+            attn["qkv"]["kernel"], None, interpret=interp,
+        ).reshape(B, H, W, 3 * C)
+        qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     Hp, Wp = H + pad_h, W + pad_w
     nI, nJ = Hp // ws, Wp // ws
 
@@ -130,11 +165,24 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     bw = bw.reshape(B, nI, nJ, num_heads, N, ws)
     out_p = window_attention_rows_grid(
         qkv_p, attn["qkv"]["bias"].astype(dtype), bh, bw, ws, num_heads,
-        interpret=interp,
+        interpret=interp, rolled_rows=WIN_ROLLED_ROWS,
+        group_batch=WIN_GROUP_BATCH,
     )
-    out = out_p[:, :H, :W, :]
     if XLA_TAIL:
+        out = out_p[:, :H, :W, :]
         return _tail_xla(x, out, attn, bp, dtype)
+    if PAD_FREE:
+        # tail reads attn output straight from the padded grid — no unpad
+        # slice/reshape pass
+        return proj_ln_mlp_residual_grid(
+            x, out_p,
+            attn["proj"]["kernel"], attn["proj"]["bias"],
+            bp["norm2"]["scale"], bp["norm2"]["bias"],
+            bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
+            bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"],
+            interpret=interp,
+        )
+    out = out_p[:, :H, :W, :]
     # whole post-attention tail (proj + residual + LN2 + MLP + residual)
     # in one token-tiled HBM pass; x1 never touches HBM
     return proj_ln_mlp_residual(

@@ -278,9 +278,37 @@ def _window_attn_rows_grid_rolled_kernel(num_heads: int, win: int, nJ: int,
     jax.lax.fori_loop(0, nJ, body, 0)
 
 
+def _window_attn_rows_grid_gbatch_kernel(num_heads: int, win: int, G: int,
+                                         qkv_ref, bias_ref, bh_ref, bw_ref,
+                                         o_ref):
+    """Grid kernel grouped over the BATCH dim with a ROLLED loop: one
+    program handles the same (i, j) window of G consecutive batch images;
+    a fori_loop walks them with leading-dim dynamic indexing, so the MLIR
+    body stays one-window-sized (the AOT helper's constraint — unrolled
+    grouping crashes it) while the program count drops G-fold. The
+    window-attention dispatch is LATENCY-bound (288 programs x unrolled
+    per-head chains, docs/DESIGN.md), so fewer/larger programs attack the
+    measured floor directly."""
+    N = win * win
+    C3 = qkv_ref.shape[-1]
+    sel = _win_sel(win)
+    bias = bias_ref[:].astype(qkv_ref.dtype)
+
+    def body(g, carry):
+        qkv = qkv_ref[pl.ds(g, 1), 0, :, 0, :, :].reshape(N, C3) + bias
+        bh = bh_ref[pl.ds(g, 1), 0, 0].reshape(num_heads, N, win)
+        bw = bw_ref[pl.ds(g, 1), 0, 0].reshape(num_heads, N, win)
+        out = _win_attn_body(num_heads, win, sel, qkv, bh, bw, o_ref.dtype)
+        o_ref[pl.ds(g, 1), 0, :, 0, :, :] = out[None]
+        return carry
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
 def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
                                num_heads: int, interpret: bool = False,
-                               rolled_rows: bool = False):
+                               rolled_rows: bool = False,
+                               group_batch: int = 1):
     """Windowed attention reading/writing the padded token GRID directly.
 
     Args:
@@ -304,6 +332,33 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
     # window axes FULL array dims, so (1,1,ws,1,ws,3C) blocks are legal and
     # the DMA engine gathers window tiles straight from the grid layout.
     qkv6 = qkv_grid.reshape(B, nI, win, nJ, win, C3)
+    G = group_batch
+    while G > 1 and B % G:
+        G //= 2
+    if G > 1:
+        win_blk = lambda c: pl.BlockSpec(
+            (G, 1, win, 1, win, c), lambda b, i, j: (b, i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM)
+        out6 = pl.pallas_call(
+            functools.partial(_window_attn_rows_grid_gbatch_kernel,
+                              num_heads, win, G),
+            out_shape=jax.ShapeDtypeStruct((B, nI, win, nJ, win, C), dt),
+            grid=(B // G, nI, nJ),
+            in_specs=[
+                win_blk(C3),
+                pl.BlockSpec((C3,), lambda b, i, j: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, 1, num_heads, N, win),
+                             lambda b, i, j: (b, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, 1, num_heads, N, win),
+                             lambda b, i, j: (b, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=win_blk(C),
+            interpret=interpret,
+        )(qkv6, qkv_bias.astype(dt), bh.astype(dt), bw.astype(dt))
+        return out6.reshape(B, Hp, Wp, C)
     if rolled_rows:
         win_blk = lambda c: pl.BlockSpec(
             (1, 1, win, nJ, win, c), lambda b, i: (b, i, 0, 0, 0, 0),

@@ -92,6 +92,75 @@ def ln_dense(x, ln_scale, ln_bias, w, bias=None, *, tile: int = 256,
       bias.astype(dt))
 
 
+def _ln_dense_padded_kernel(H: int, W: int, rs: int, x_ref, s_ref, b_ref,
+                            w_ref, o_ref):
+    """Row-strip LN+dense writing the window-PADDED grid layout directly.
+
+    Block (1, rs, W, C) of the unpadded input -> block (1, rs, Wp, F) of the
+    padded output. Strips beyond H (and the Wp-W pad columns) write ZEROS —
+    the bias-free-qkv pad convention (the attention kernel adds the qkv
+    bias, making pad tokens exactly qkv(0) = bias, SAM semantics). Input
+    blocks past H read out-of-bounds garbage (probed legal on this
+    toolchain, tools/probe_nondiv_blocks.py Q1) which the row mask zeroes.
+    """
+    g = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)  # (rs, W, C)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    h = h * s_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    C = h.shape[-1]
+    out = jnp.dot(h.reshape(rs * W, C).astype(w_ref.dtype), w_ref[...],
+                  preferred_element_type=jnp.float32)
+    F = out.shape[-1]
+    out = out.reshape(rs, W, F)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rs, W, F), 0)
+    out = jnp.where(g * rs + row < H, out, 0.0)
+    Wp = o_ref.shape[2]
+    if Wp > W:
+        out = jnp.concatenate(
+            [out, jnp.zeros((rs, Wp - W, F), out.dtype)], axis=1)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def ln_dense_padded(x, ln_scale, ln_bias, w, pad_hw, *, interpret: bool = False):
+    """LayerNorm then bias-free dense, emitted straight into the padded
+    window grid: [B, H, W, C] -> [B, H+pad_h, W+pad_w, F] with zero pads.
+
+    Replaces `ln_dense(...).reshape + jnp.pad` in the fused windowed block:
+    the separate pad pass cost a full read+write of the (padded) qkv tensor
+    (~410 MB/block at flagship geometry, docs/DESIGN.md 'Pad/unpad cost
+    measured'); here the pad rows/cols are written once by the same kernel
+    that produces qkv. Per-token math is identical to ln_dense, so outputs
+    are bit-identical on the real token region."""
+    B, H, W, C = x.shape
+    pad_h, pad_w = pad_hw
+    Hp, Wp = H + pad_h, W + pad_w
+    F = w.shape[-1]
+    rs = 16
+    while rs > 1 and H % rs:
+        rs //= 2
+    n_strips = -(-Hp // rs)  # cover pad rows so they are written (zero)
+    dt = x.dtype
+    full = lambda shape: pl.BlockSpec(shape, lambda b, g: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_dense_padded_kernel, H, W, rs),
+        # out sized exactly Hp: the last strip's rows past Hp are
+        # out-of-bounds STORES, dropped by Mosaic (probe Q3)
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, F), dt),
+        grid=(B, n_strips),
+        in_specs=[
+            pl.BlockSpec((1, rs, W, C), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((C,)), full((C,)), full((C, F)),
+        ],
+        out_specs=pl.BlockSpec((1, rs, Wp, F), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, ln_scale.astype(dt), ln_bias.astype(dt), w.astype(dt))
+
+
 def _proj_ln_mlp_kernel(chunks: int, x_ref, a_ref, wp_ref, bp_ref, s_ref,
                         b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x1 = (x_ref[...].astype(jnp.float32)
@@ -152,6 +221,79 @@ def proj_ln_mlp_residual(x, attn_out, wp, bp, ln_scale, ln_bias, w1, b1, w2,
         out_specs=tok(C),
         interpret=interpret,
     )(x, attn_out.astype(dt), wp.astype(dt), bp.astype(dt),
+      ln_scale.astype(dt), ln_bias.astype(dt), w1.astype(dt), b1.astype(dt),
+      w2.astype(dt), b2.astype(dt))
+
+
+def _proj_ln_mlp_grid_kernel(chunks: int, rs: int, W: int, x_ref, a_ref,
+                             wp_ref, bp_ref, s_ref, b_ref, w1_ref, b1_ref,
+                             w2_ref, b2_ref, o_ref):
+    """proj_ln_mlp_residual reading attn_out from the PADDED grid layout:
+    x block (1, rs, W, C) unpadded; a block (1, rs, Wp, C) padded — the
+    pad columns are sliced off in VMEM, so the unpad copy pass the XLA
+    slice+reshape cost (~70 MB/block) never touches HBM."""
+    C = x_ref.shape[-1]
+    x1 = (x_ref[0].astype(jnp.float32).reshape(rs * W, C)
+          + jnp.dot(a_ref[0, :, :W, :].reshape(rs * W, C), wp_ref[...],
+                    preferred_element_type=jnp.float32)
+          + bp_ref[:].astype(jnp.float32))
+    mu = jnp.mean(x1, axis=-1, keepdims=True)
+    var = jnp.mean((x1 - mu) ** 2, axis=-1, keepdims=True)
+    h = (x1 - mu) * jax.lax.rsqrt(var + 1e-6)
+    h = (h * s_ref[:].astype(jnp.float32)
+         + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hidden = w1_ref.shape[-1]
+    cs = hidden // chunks
+    acc = x1 + b2_ref[:].astype(jnp.float32)
+    for c in range(chunks):
+        mid = jnp.dot(h, w1_ref[:, c * cs:(c + 1) * cs],
+                      preferred_element_type=jnp.float32)
+        mid = _gelu_exact(mid + b1_ref[c * cs:(c + 1) * cs].astype(jnp.float32))
+        acc = acc + jnp.dot(mid.astype(x_ref.dtype),
+                            w2_ref[c * cs:(c + 1) * cs, :],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(rs, W, C).astype(o_ref.dtype)
+
+
+def proj_ln_mlp_residual_grid(x, attn_out_padded, wp, bp, ln_scale, ln_bias,
+                              w1, b1, w2, b2, *, chunks: int = 4,
+                              interpret: bool = False):
+    """Same math as proj_ln_mlp_residual, but attn_out comes in the padded
+    window-grid layout [B, Hp, Wp, C] (the window kernel's native output):
+    only the real-token region is read, per row strip, and the padded
+    tensor's unpad slice/reshape pass never materializes. x: [B, H, W, C];
+    returns [B, H, W, C] (bit-identical to the flat-path result)."""
+    B, H, W, C = x.shape
+    hidden = w1.shape[-1]
+    while chunks > 1 and hidden % chunks:
+        chunks -= 1
+    # rs*W tokens per program; 16 rows x 32 cols = 512 tokens matches the
+    # flat tail's measured-best tile (tools/experiment_fused_ln.py)
+    rs = 16
+    while rs > 1 and H % rs:
+        rs //= 2
+    dt = x.dtype
+    full = lambda shape: pl.BlockSpec(shape, lambda b, g: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_proj_ln_mlp_grid_kernel, chunks, rs, W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
+        grid=(B, H // rs),
+        in_specs=[
+            pl.BlockSpec((1, rs, W, C), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rs, attn_out_padded.shape[2], C),
+                         lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((C, C)), full((C,)),
+            full((C,)), full((C,)),
+            full((C, hidden)), full((hidden,)),
+            full((hidden, C)), full((C,)),
+        ],
+        out_specs=pl.BlockSpec((1, rs, W, C), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, attn_out_padded.astype(dt), wp.astype(dt), bp.astype(dt),
       ln_scale.astype(dt), ln_bias.astype(dt), w1.astype(dt), b1.astype(dt),
       w2.astype(dt), b2.astype(dt))
 

@@ -37,6 +37,36 @@ def test_fast_encoder_v3_kernels_match_flax_vit_t():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_fast_encoder_pad_free_path_matches():
+    """PAD_FREE data path (ln_dense_padded writes the padded grid directly;
+    proj_ln_mlp_residual_grid reads attention output from it) must match
+    the default pad/unpad path bit-for-bit — per-token math is identical.
+    (Measured slower on the round-4 TPU A/B, default off; docs/DESIGN.md.)"""
+    from sam_road_tpu.models import fast_encoder as fe
+
+    spec = ENCODER_SPECS["vit_t"]
+    enc = ImageEncoderViT(
+        img_size=96, embed_dim=spec["embed_dim"], depth=spec["depth"],
+        num_heads=spec["num_heads"],
+        global_attn_indexes=spec["global_attn_indexes"],
+        window_size=4, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(np.asarray, params)
+    kw = dict(sam_version="vit_t", img_size=96, window_size=4,
+              dtype=jnp.float32, interpret=True)
+    want = np.asarray(encoder_forward_fused(params, jnp.asarray(x), **kw))
+    old = fe.PAD_FREE
+    fe.PAD_FREE = True
+    try:
+        got = np.asarray(encoder_forward_fused(params, jnp.asarray(x), **kw))
+    finally:
+        fe.PAD_FREE = old
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fast_encoder_v3_nondivisible_window_pad():
     """window 5 on a 6x6 grid pads 6->10: pad tokens must act as keys with
     qkv(0)=bias exactly (the bias-after-pad construction)."""

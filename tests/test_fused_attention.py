@@ -251,3 +251,12 @@ def test_window_attention_rows_grid_matches_rows_kernel():
     got_r = window_attention_rows_grid(qkv_p, bias, bh, bw, win, heads,
                                        interpret=True, rolled_rows=True)
     np.testing.assert_array_equal(np.asarray(got_r), np.asarray(got))
+
+    # batch-grouped rolled granularity must agree too (NOTE: like
+    # rolled_rows, it fails to compile on the current platform's AOT
+    # helper — kept for parity + other toolchains, docs/DESIGN.md
+    # round-4 negative results)
+    for g in (2, 4):
+        got_g = window_attention_rows_grid(qkv_p, bias, bh, bw, win, heads,
+                                           interpret=True, group_batch=g)
+        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(got))

@@ -133,9 +133,50 @@ def main(only=None):
                 _fe.XLA_TAIL = old
         return fn
 
+    def fused_padded():
+        # round-3 data path: XLA jnp.pad feeds the window kernel and the
+        # tail reads the unpad slice — for paired A/B vs the round-4
+        # pad-free path (PAD_FREE=True is the production default)
+        def fn(p, x):
+            from sam_road_tpu.models import fast_encoder as _fe
+            old = _fe.PAD_FREE
+            _fe.PAD_FREE = False
+            try:
+                return encoder_forward_fused(
+                    p, x, sam_version="vit_b", img_size=512, window_size=14,
+                    dtype=jnp.bfloat16,
+                )
+            finally:
+                _fe.PAD_FREE = old
+        return fn
+
+    def fused_flag(**flags):
+        # generic trace-time flag flip on the fast_encoder module
+        def fn(p, x):
+            from sam_road_tpu.models import fast_encoder as _fe
+            old = {k: getattr(_fe, k) for k in flags}
+            for k, v in flags.items():
+                setattr(_fe, k, v)
+            try:
+                return encoder_forward_fused(
+                    p, x, sam_version="vit_b", img_size=512, window_size=14,
+                    dtype=jnp.bfloat16,
+                )
+            finally:
+                for k, v in old.items():
+                    setattr(_fe, k, v)
+        return fn
+
     for label, fn in [
         ("v3", fused()),
         ("v3xt", fused_xla_tail()),
+        ("v3pad", fused_padded()),
+        ("v3padfree", fused_flag(PAD_FREE=True)),
+        ("v3rj", fused_flag(WIN_ROLLED_ROWS=True)),
+        ("v3g4", fused_flag(WIN_GROUP_BATCH=4)),
+        ("v3g8", fused_flag(WIN_GROUP_BATCH=8)),
+        ("v3g16", fused_flag(WIN_GROUP_BATCH=16)),
+        ("v3g32", fused_flag(WIN_GROUP_BATCH=32)),
     ]:
         if wanted is not None and label not in wanted:
             continue
