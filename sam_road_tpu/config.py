@@ -130,6 +130,11 @@ DEFAULTS: dict = {
     # batches are built. Default off; kept for slower links.
     "INFER_P2_PACK_ARGS": False,
     "FUSED_ENCODER": False,
+    # Route the TRAINING step's encoder through the differentiable fused
+    # kernels (custom_vjp: Pallas forward, XLA-recompute backward —
+    # models/fast_encoder.encoder_forward_fused(differentiable=True)).
+    # Grad parity vs flax autodiff tested in tests/test_fused_train.py.
+    "FUSED_ENCODER_TRAIN": False,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts
     # (288 windows; HTTP 500 from tpu_compile_helper, 2026-08-16) — default

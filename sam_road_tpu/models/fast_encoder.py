@@ -28,13 +28,20 @@ from sam_road_tpu.ops.attention import (
     _VMEM_BUDGET_BYTES,
     _whole_bytes,
     attention_relpos_rows,
+    attention_relpos_rows_d,
     fused_attention,
 )
-from sam_road_tpu.ops.fused_block import window_attention_rows_grid
+from sam_road_tpu.ops.fused_block import (
+    window_attention_rows_grid,
+    window_attention_rows_grid_d,
+)
 from sam_road_tpu.ops.fused_ln import (
     ln_dense,
+    ln_dense_bias_d,
+    ln_dense_d,
     ln_dense_padded,
     proj_ln_mlp_residual,
+    proj_ln_mlp_residual_d,
     proj_ln_mlp_residual_grid,
 )
 
@@ -99,7 +106,7 @@ def _tail_xla(x, out, attn, bp, dtype):
     ).astype(dtype)
 
 
-def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
+def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu, diff=False):
     """Windowed block, token-tiled fusion (kernel_version=3).
 
     The per-token chains run in token-tiled Pallas kernels at MXU-grade
@@ -129,17 +136,24 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     # semantics) WITHOUT a second full-activation bias pass, and the
     # window partition/unpartition transposes live in the kernel's block
     # index maps instead of HBM (window_attention_rows_grid).
-    if PAD_FREE:
+    if PAD_FREE and not diff:
         # LN+qkv writes the padded grid directly — no separate pad pass
         qkv_p = ln_dense_padded(
             x, bp["norm1"]["scale"], bp["norm1"]["bias"],
             attn["qkv"]["kernel"], (pad_h, pad_w), interpret=interp,
         )
     else:
-        qkv_nb = ln_dense(
-            x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
-            attn["qkv"]["kernel"], None, interpret=interp,
-        ).reshape(B, H, W, 3 * C)
+        if diff:
+            qkv_nb = ln_dense_d(
+                x.reshape(B * H * W, C), bp["norm1"]["scale"],
+                bp["norm1"]["bias"], attn["qkv"]["kernel"], interp,
+            ).reshape(B, H, W, 3 * C)
+        else:
+            qkv_nb = ln_dense(
+                x.reshape(B * H * W, C), bp["norm1"]["scale"],
+                bp["norm1"]["bias"], attn["qkv"]["kernel"], None,
+                interpret=interp,
+            ).reshape(B, H, W, 3 * C)
         qkv_p = jnp.pad(qkv_nb, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     Hp, Wp = H + pad_h, W + pad_w
     nI, nJ = Hp // ws, Wp // ws
@@ -163,6 +177,19 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     N = ws * ws
     bh = bh.reshape(B, nI, nJ, num_heads, N, ws)
     bw = bw.reshape(B, nI, nJ, num_heads, N, ws)
+    if diff:
+        out_p = window_attention_rows_grid_d(
+            qkv_p, attn["qkv"]["bias"].astype(dtype), bh, bw, ws, num_heads,
+            interp,
+        )
+        out = out_p[:, :H, :W, :]
+        return proj_ln_mlp_residual_d(
+            x.reshape(B * H * W, C), out.reshape(B * H * W, C),
+            attn["proj"]["kernel"], attn["proj"]["bias"],
+            bp["norm2"]["scale"], bp["norm2"]["bias"],
+            bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
+            bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interp,
+        ).reshape(B, H, W, C)
     out_p = window_attention_rows_grid(
         qkv_p, attn["qkv"]["bias"].astype(dtype), bh, bw, ws, num_heads,
         interpret=interp, rolled_rows=WIN_ROLLED_ROWS,
@@ -194,7 +221,7 @@ def _windowed_block_v3(x, bp, num_heads, ws, dtype, on_tpu):
     ).reshape(B, H, W, C)
 
 
-def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
+def _global_block_v3(x, bp, num_heads, dtype, on_tpu, diff=False):
     """Global block with token-tiled LN1+qkv and LN2+MLP kernels; attention
     runs the whole-N kernel with rel-pos bias ROWS (q.Rh / q.Rw, small
     batched einsums in XLA) spread onto the key axis in-kernel — the
@@ -206,10 +233,17 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
     head_dim = C // num_heads
     scale = head_dim ** -0.5
 
-    qkv = ln_dense(
-        x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
-        attn["qkv"]["kernel"], attn["qkv"]["bias"], interpret=interp,
-    )
+    if diff:
+        qkv = ln_dense_bias_d(
+            x.reshape(B * H * W, C), bp["norm1"]["scale"],
+            bp["norm1"]["bias"], attn["qkv"]["kernel"], attn["qkv"]["bias"],
+            interp,
+        )
+    else:
+        qkv = ln_dense(
+            x.reshape(B * H * W, C), bp["norm1"]["scale"], bp["norm1"]["bias"],
+            attn["qkv"]["kernel"], attn["qkv"]["bias"], interpret=interp,
+        )
     qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
     q, k, v = jnp.moveaxis(qkv, 2, 0).transpose(0, 1, 3, 2, 4)
     Rh = _get_rel_pos_table(H, attn["rel_pos_h"]).astype(dtype)
@@ -223,13 +257,27 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
             B, num_heads, N, H)
         bw = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw).reshape(
             B, num_heads, N, W)
-        out = attention_relpos_rows(q * scale, k, v, bh, bw, (H, W), interp)
+        if diff:
+            out = attention_relpos_rows_d(q * scale, k, v, bh, bw, (H, W),
+                                          interp)
+        else:
+            out = attention_relpos_rows(q * scale, k, v, bh, bw, (H, W),
+                                        interp)
     else:
         # large grids (1024px+: 4096-token scores would blow VMEM): folded
-        # rel-pos + the kv-tiled blocked flash kernel (ops/attention.py)
+        # rel-pos + the kv-tiled blocked flash kernel (ops/attention.py,
+        # already differentiable via its own custom_vjp)
         q_aug, k_aug = fold_rel_pos_qk(q, k, Rh, Rw, (H, W), scale)
         out = fused_attention(q_aug, k_aug, v, interp)
     out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    if diff:
+        return proj_ln_mlp_residual_d(
+            x.reshape(B * H * W, C), out.reshape(B * H * W, C),
+            attn["proj"]["kernel"], attn["proj"]["bias"],
+            bp["norm2"]["scale"], bp["norm2"]["bias"],
+            bp["mlp_lin1"]["kernel"], bp["mlp_lin1"]["bias"],
+            bp["mlp_lin2"]["kernel"], bp["mlp_lin2"]["bias"], interp,
+        ).reshape(B, H, W, C)
     if XLA_TAIL:
         return _tail_xla(x, out, attn, bp, dtype)
     return proj_ln_mlp_residual(
@@ -243,10 +291,20 @@ def _global_block_v3(x, bp, num_heads, dtype, on_tpu):
 
 def encoder_forward_fused(params, x, sam_version: str = "vit_b",
                           img_size: int = 512, window_size: int = 14,
-                          dtype=jnp.bfloat16, interpret: bool = False):
+                          dtype=jnp.bfloat16, interpret: bool = False,
+                          differentiable: bool = False, remat: bool = True):
     """Full encoder forward on the standard param tree with token-tiled
     fused kernels. x: [B, H, W, 3] normalized input; returns
-    [B, h, w, 256]."""
+    [B, h, w, 256].
+
+    differentiable=True routes every Pallas op through its custom_vjp
+    wrapper (Pallas forward, XLA-recompute backward — ops/fused_ln.py,
+    ops/fused_block.py, ops/attention.py) so the fused encoder can serve
+    the TRAINING step (config.FUSED_ENCODER_TRAIN, training/harness.py);
+    the experiment-only A/B switches (PAD_FREE/XLA_TAIL/WIN_* granularity)
+    are ignored on that path. remat wraps each block in jax.checkpoint so
+    only block-boundary activations persist to the backward pass (matching
+    the flax path's REMAT_ENCODER discipline)."""
     spec = ENCODER_SPECS[sam_version]
     depth = spec["depth"]
     num_heads = spec["num_heads"]
@@ -264,10 +322,16 @@ def encoder_forward_fused(params, x, sam_version: str = "vit_b",
     for i in range(depth):
         bp = params[f"blocks_{i}"]
         if i in global_idx:
-            x = _global_block_v3(x, bp, num_heads, dtype, on_tpu)
+            def block(x, bp):
+                return _global_block_v3(x, bp, num_heads, dtype, on_tpu,
+                                        diff=differentiable)
         else:
-            x = _windowed_block_v3(x, bp, num_heads, window_size, dtype,
-                                   on_tpu)
+            def block(x, bp):
+                return _windowed_block_v3(x, bp, num_heads, window_size,
+                                          dtype, on_tpu, diff=differentiable)
+        if differentiable and remat:
+            block = jax.checkpoint(block)
+        x = block(x, bp)
     return _neck(params, x, dtype)
 
 

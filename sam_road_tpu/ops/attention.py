@@ -222,6 +222,45 @@ def attention_relpos_rows(q, k, v, bh, bw, hw, interpret: bool = False):
     return out.reshape(B, nH, N, dv)
 
 
+def _relpos_rows_ref(q, k, v, bh, bw, H, W):
+    """XLA reference of attention_relpos_rows (backward-side recompute):
+    same math — s = q k^T + spread(bh) + spread(bw), fp32 softmax, p cast
+    to v.dtype for the AV matmul."""
+    B, nH, N, _ = q.shape
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = s.reshape(B, nH, N, H, W)
+    s = s + bh.astype(jnp.float32)[..., None] \
+          + bw.astype(jnp.float32)[..., None, :]
+    s = s.reshape(B, nH, N, N)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def attention_relpos_rows_d(q, k, v, bh, bw, hw, interpret=False):
+    """Differentiable attention_relpos_rows: Pallas forward, XLA-recompute
+    backward via jax.vjp of _relpos_rows_ref (training path, round 4)."""
+    return attention_relpos_rows(q, k, v, bh, bw, hw, interpret)
+
+
+def _relpos_rows_d_fwd(q, k, v, bh, bw, hw, interpret):
+    out = attention_relpos_rows(q, k, v, bh, bw, hw, interpret)
+    return out, (q, k, v, bh, bw)
+
+
+def _relpos_rows_d_bwd(hw, interpret, res, g):
+    H, W = hw
+    _, vjp = jax.vjp(
+        lambda q, k, v, bh, bw: _relpos_rows_ref(q, k, v, bh, bw, H, W), *res
+    )
+    return vjp(g)
+
+
+attention_relpos_rows_d.defvjp(_relpos_rows_d_fwd, _relpos_rows_d_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q, k, v, interpret: bool = False):
     """softmax(q @ k^T) @ v with scores resident in VMEM.

@@ -405,6 +405,68 @@ def window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win: int,
     return out6.reshape(B, Hp, Wp, C)
 
 
+def _window_attn_grid_ref(qkv_grid, qkv_bias, bh, bw, win, num_heads):
+    """XLA reference of window_attention_rows_grid (backward-side
+    recompute): window-partition in XLA, per-head scores with the bias
+    rows spread over (i', j') key coordinates, fp32 softmax, p cast to
+    v.dtype for the AV matmul. Math matches the kernel (the kernel's
+    merged/pre-scaled q formulation is exact for power-of-two head dims)."""
+    B, Hp, Wp, C3 = qkv_grid.shape
+    C = C3 // 3
+    hd = C // num_heads
+    nI, nJ = Hp // win, Wp // win
+    N = win * win
+    scale = hd ** -0.5
+    dt = qkv_grid.dtype
+    qkv = qkv_grid.reshape(B, nI, win, nJ, win, C3).transpose(0, 1, 3, 2, 4, 5)
+    qkv = qkv.reshape(B, nI, nJ, N, C3) + qkv_bias.astype(dt)
+
+    def heads(t):  # (B, nI, nJ, N, C) -> (B, nI, nJ, num_heads, N, hd)
+        return t.reshape(B, nI, nJ, N, num_heads, hd).transpose(0, 1, 2, 4, 3, 5)
+
+    q = heads(qkv[..., :C])
+    k = heads(qkv[..., C:2 * C])
+    v = heads(qkv[..., 2 * C:])
+    s = jnp.einsum("...nd,...md->...nm", q * jnp.asarray(scale, dt), k,
+                   preferred_element_type=jnp.float32)
+    s = s.reshape(B, nI, nJ, num_heads, N, win, win)
+    s = s + bh.astype(jnp.float32)[..., None] \
+          + bw.astype(jnp.float32)[..., None, :]
+    s = s.reshape(B, nI, nJ, num_heads, N, N)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("...nm,...md->...nd", p.astype(dt), v,
+                     preferred_element_type=jnp.float32).astype(dt)
+    # (B, nI, nJ, H, N, hd) -> (B, Hp, Wp, C)
+    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(B, nI, nJ, win, win, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def window_attention_rows_grid_d(qkv_grid, qkv_bias, bh, bw, win, num_heads,
+                                 interpret=False):
+    """Differentiable window_attention_rows_grid (default granularity):
+    Pallas forward, XLA-recompute backward via jax.vjp of
+    _window_attn_grid_ref (training path, round 4)."""
+    return window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win,
+                                      num_heads, interpret=interpret)
+
+
+def _window_grid_d_fwd(qkv_grid, qkv_bias, bh, bw, win, num_heads, interpret):
+    out = window_attention_rows_grid(qkv_grid, qkv_bias, bh, bw, win,
+                                     num_heads, interpret=interpret)
+    return out, (qkv_grid, qkv_bias, bh, bw)
+
+
+def _window_grid_d_bwd(win, num_heads, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda qkv, bias, bh, bw: _window_attn_grid_ref(
+            qkv, bias, bh, bw, win, num_heads), *res)
+    return vjp(g)
+
+
+window_attention_rows_grid_d.defvjp(_window_grid_d_fwd, _window_grid_d_bwd)
+
+
 def _window_attn_batched_kernel(win: int, n_real: int, q_ref, k_ref, v_ref,
                                 rh_ref, rw_ref, o_ref):
     """Batched windowed attention: (window, head) pairs flattened into ONE

@@ -298,6 +298,107 @@ def proj_ln_mlp_residual_grid(x, attn_out_padded, wp, bp, ln_scale, ln_bias,
       w2.astype(dt), b2.astype(dt))
 
 
+# ------------------------------------------------------------------------
+# Differentiable wrappers (training path, round 4): Pallas forward + XLA
+# recompute backward — the same pattern as ops/attention.fused_attention.
+# Residuals are just the primal inputs; the backward re-derives the chain
+# through jax.vjp of an XLA reference implementation whose math matches
+# the kernel (fp32 LN/accumulation, low-precision matmul operands). The
+# reference's backward-side gelu uses the true erf (the kernel's forward
+# uses the Abramowitz-Stegun approximation, |err| <= 1.5e-7 — immaterial
+# for gradients).
+# ------------------------------------------------------------------------
+
+
+def _ln_dense_ref(x, s, b, w, bias):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    h = h * s.astype(jnp.float32) + b.astype(jnp.float32)
+    out = jnp.dot(h.astype(x.dtype), w.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ln_dense_d(x, ln_scale, ln_bias, w, interpret=False):
+    """Differentiable ln_dense, bias-free (the windowed qkv projection)."""
+    return ln_dense(x, ln_scale, ln_bias, w, None, interpret=interpret)
+
+
+def _ln_dense_d_fwd(x, s, b, w, interpret):
+    return ln_dense(x, s, b, w, None, interpret=interpret), (x, s, b, w)
+
+
+def _ln_dense_d_bwd(interpret, res, g):
+    x, s, b, w = res
+    _, vjp = jax.vjp(lambda x, s, b, w: _ln_dense_ref(x, s, b, w, None),
+                     x, s, b, w)
+    return vjp(g)
+
+
+ln_dense_d.defvjp(_ln_dense_d_fwd, _ln_dense_d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def ln_dense_bias_d(x, ln_scale, ln_bias, w, bias, interpret=False):
+    """Differentiable ln_dense with output bias (the global qkv projection)."""
+    return ln_dense(x, ln_scale, ln_bias, w, bias, interpret=interpret)
+
+
+def _ln_dense_bias_d_fwd(x, s, b, w, bias, interpret):
+    return ln_dense(x, s, b, w, bias, interpret=interpret), (x, s, b, w, bias)
+
+
+def _ln_dense_bias_d_bwd(interpret, res, g):
+    _, vjp = jax.vjp(_ln_dense_ref, *res)
+    return vjp(g)
+
+
+ln_dense_bias_d.defvjp(_ln_dense_bias_d_fwd, _ln_dense_bias_d_bwd)
+
+
+def _proj_tail_ref(x, a, wp, bp, s, b, w1, b1, w2, b2):
+    dt = x.dtype
+    x1 = (x.astype(jnp.float32)
+          + jnp.dot(a, wp.astype(a.dtype), preferred_element_type=jnp.float32)
+          + bp.astype(jnp.float32))
+    mu = jnp.mean(x1, axis=-1, keepdims=True)
+    var = jnp.mean((x1 - mu) ** 2, axis=-1, keepdims=True)
+    h = (x1 - mu) * jax.lax.rsqrt(var + 1e-6)
+    h = (h * s.astype(jnp.float32) + b.astype(jnp.float32)).astype(dt)
+    mid = jnp.dot(h, w1.astype(dt), preferred_element_type=jnp.float32)
+    mid = jax.nn.gelu(mid + b1.astype(jnp.float32), approximate=False)
+    out = x1 + b2.astype(jnp.float32) + jnp.dot(
+        mid.astype(dt), w2.astype(dt), preferred_element_type=jnp.float32)
+    return out.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def proj_ln_mlp_residual_d(x, attn_out, wp, bp, ln_scale, ln_bias, w1, b1,
+                           w2, b2, interpret=False):
+    """Differentiable proj_ln_mlp_residual (the whole post-attention tail)."""
+    return proj_ln_mlp_residual(x, attn_out, wp, bp, ln_scale, ln_bias,
+                                w1, b1, w2, b2, interpret=interpret)
+
+
+def _proj_tail_d_fwd(x, a, wp, bp, s, b, w1, b1, w2, b2, interpret):
+    out = proj_ln_mlp_residual(x, a, wp, bp, s, b, w1, b1, w2, b2,
+                               interpret=interpret)
+    return out, (x, a, wp, bp, s, b, w1, b1, w2, b2)
+
+
+def _proj_tail_d_bwd(interpret, res, g):
+    _, vjp = jax.vjp(_proj_tail_ref, *res)
+    return vjp(g)
+
+
+proj_ln_mlp_residual_d.defvjp(_proj_tail_d_fwd, _proj_tail_d_bwd)
+
+
 def _ln_mlp_kernel(chunks: int, x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
                    b2_ref, o_ref):
     xf = x_ref[...].astype(jnp.float32)

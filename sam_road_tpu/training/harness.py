@@ -111,6 +111,43 @@ def _materialize_batch(batch):
     return b
 
 
+def _fused_forward(spec, params, rgb, graph_points, pairs, valid,
+                   dropout_rng, remat=True, deterministic=False):
+    """SAMRoad.__call__ with the encoder routed through the differentiable
+    fused-kernel forward (models/fast_encoder.py, custom_vjp ops): identical
+    math to the flax module — grad parity tested in tests/test_fused_train.py
+    — at fewer HBM round-trips per block. The decoder and TopoNet stay flax
+    applies on their param subtrees (they are a tiny share of step time)."""
+    from sam_road_tpu.models.decoder import MapDecoder
+    from sam_road_tpu.models.fast_encoder import encoder_forward_fused
+    from sam_road_tpu.models.sam_road import PIXEL_MEAN, PIXEL_STD
+    from sam_road_tpu.models.toponet import TopoNet
+    from sam_road_tpu.ops.sampling import bilinear_sample_points
+
+    mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
+    std = jnp.asarray(PIXEL_STD, jnp.float32)
+    x = ((rgb.astype(jnp.float32) - mean) / std).astype(spec.dtype)
+    emb = encoder_forward_fused(
+        params["image_encoder"], x, sam_version=spec.sam_version,
+        img_size=spec.patch_size, dtype=spec.dtype,
+        differentiable=True, remat=remat,
+    )
+    mask_logits = MapDecoder(dtype=spec.dtype).apply(
+        {"params": params["map_decoder"]}, emb
+    )
+    mask_scores = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    point_features = bilinear_sample_points(emb, graph_points, spec.patch_size)
+    topo_logits, topo_scores = TopoNet(
+        feature_dim=256, version=spec.toponet_version, dtype=spec.dtype,
+    ).apply(
+        {"params": params["topo_net"]}, graph_points, point_features, pairs,
+        valid, deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": dropout_rng},
+    )
+    return (mask_logits.astype(jnp.float32), mask_scores,
+            topo_logits.astype(jnp.float32), topo_scores)
+
+
 def make_train_step(config) -> Callable:
     """One jitted optimization step: forward, losses, grads, Adam update.
 
@@ -123,18 +160,35 @@ def make_train_step(config) -> Callable:
     model = build_model(config)
     use_focal = bool(config.FOCAL_LOSS)
     clip_norm = float(config.GRAD_CLIP_NORM or 0.0)
+    fused_train = bool(config.FUSED_ENCODER_TRAIN)
+    if fused_train:
+        if model.spec.use_sam_decoder:
+            raise ValueError("FUSED_ENCODER_TRAIN requires the naive map "
+                             "decoder (USE_SAM_DECODER must be off)")
+        if model.spec.lora_rank:
+            raise ValueError("FUSED_ENCODER_TRAIN does not support "
+                             "ENCODER_LORA (the fused forward consumes the "
+                             "plain SAM param tree)")
+        forward = partial(_fused_forward, model.spec,
+                          remat=bool(config.REMAT_ENCODER))
 
     def loss_fn(params, batch, dropout_rng):
         batch = _materialize_batch(batch)
-        mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
-            {"params": params},
-            batch["rgb"],
-            batch["graph_points"],
-            batch["pairs"],
-            batch["valid"],
-            deterministic=False,
-            rngs={"dropout": dropout_rng},
-        )
+        if fused_train:
+            mask_logits, mask_scores, topo_logits, topo_scores = forward(
+                params, batch["rgb"], batch["graph_points"], batch["pairs"],
+                batch["valid"], dropout_rng,
+            )
+        else:
+            mask_logits, mask_scores, topo_logits, topo_scores = model.apply(
+                {"params": params},
+                batch["rgb"],
+                batch["graph_points"],
+                batch["pairs"],
+                batch["valid"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
         gt_masks = jnp.stack([batch["keypoint_mask"], batch["road_mask"]], axis=3)
         if use_focal:
             mask_loss = sigmoid_focal_loss(mask_logits, gt_masks)

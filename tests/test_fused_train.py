@@ -1,0 +1,138 @@
+"""Fused-encoder TRAINING path: grad parity vs the flax model and an
+end-to-end train step (config.FUSED_ENCODER_TRAIN, training/harness.py).
+
+The differentiable fused ops (custom_vjp: Pallas forward, XLA-recompute
+backward — ops/fused_ln.py, ops/fused_block.py, ops/attention.py) must
+produce the same gradients as flax autodiff through the reference-parity
+flax modules, in fp32 to 1e-5 (VERDICT round-3 item 3). Reference train
+forward: model.py:414-457; reference train step: model.py:511-544.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sam_road_tpu.config import load_config
+from sam_road_tpu.models.sam_road import build_model, init_params
+from sam_road_tpu.training.harness import Trainer, _fused_forward
+
+
+def _tiny_cfg(**over):
+    base = dict(
+        SAM_VERSION="vit_t",
+        PATCH_SIZE=32,
+        COMPUTE_DTYPE="float32",
+        TOPO_SAMPLE_NUM=4,
+        MAX_NEIGHBOR_QUERIES=4,
+        BATCH_SIZE=4,
+        BASE_LR=1e-3,
+    )
+    base.update(over)
+    return load_config(overrides=base)
+
+
+def _fake_batch(cfg, batch=4, n_pts=8, seed=0):
+    rng = np.random.default_rng(seed)
+    s, p = cfg.TOPO_SAMPLE_NUM, cfg.MAX_NEIGHBOR_QUERIES
+    ps = cfg.PATCH_SIZE
+    return {
+        "rgb": rng.uniform(0, 255, (batch, ps, ps, 3)).astype(np.float32),
+        "keypoint_mask": (rng.random((batch, ps, ps)) > 0.9).astype(np.float32),
+        "road_mask": (rng.random((batch, ps, ps)) > 0.7).astype(np.float32),
+        "graph_points": rng.uniform(0, ps, (batch, n_pts, 2)).astype(np.float32),
+        "pairs": rng.integers(0, n_pts, (batch, s, p, 2)).astype(np.int32),
+        "connected": rng.random((batch, s, p)) > 0.5,
+        "valid": rng.random((batch, s, p)) > 0.2,
+    }
+
+
+def _surrogate_grads(cfg, params, batch, fused: bool, remat: bool = True):
+    """Grads of a dense surrogate loss over all four model outputs, via the
+    flax model or the differentiable fused-encoder forward."""
+    model = build_model(cfg)
+    rgb = jnp.asarray(batch["rgb"])
+    gp = jnp.asarray(batch["graph_points"])
+    pairs = jnp.asarray(batch["pairs"])
+    valid = jnp.asarray(batch["valid"])
+
+    def loss(p):
+        if fused:
+            ml, ms, tl, ts = _fused_forward(
+                model.spec, p, rgb, gp, pairs, valid, None,
+                remat=remat, deterministic=True,
+            )
+        else:
+            ml, ms, tl, ts = model.apply(
+                {"params": p}, rgb, gp, pairs, valid, deterministic=True
+            )
+        return jnp.mean(ml ** 2) + jnp.mean(tl ** 2) + jnp.mean(ms) + jnp.mean(ts)
+
+    return jax.grad(loss)(params)
+
+
+def test_fused_train_grad_parity_fp32():
+    """Fused differentiable forward must match flax autodiff gradients on
+    every parameter (encoder, decoder, toponet) to 1e-5 in fp32."""
+    cfg = _tiny_cfg()
+    params = init_params(cfg)
+    batch = _fake_batch(cfg)
+    g_flax = jax.tree.map(np.asarray, _surrogate_grads(cfg, params, batch, False))
+    g_fused = jax.tree.map(np.asarray, _surrogate_grads(cfg, params, batch, True))
+
+    flat_a = jax.tree_util.tree_flatten_with_path(g_flax)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(g_fused)[0]
+    assert len(flat_a) == len(flat_b)
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-5, atol=1e-5 * scale,
+            err_msg=f"grad mismatch at {name}",
+        )
+
+
+def test_fused_train_remat_grad_identity():
+    """remat=True (jax.checkpoint per block) must not change gradients."""
+    cfg = _tiny_cfg()
+    params = init_params(cfg)
+    batch = _fake_batch(cfg, seed=1)
+    g_r = _surrogate_grads(cfg, params, batch, True, remat=True)
+    g_n = _surrogate_grads(cfg, params, batch, True, remat=False)
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_train_step_end_to_end(tmp_path):
+    """Trainer with FUSED_ENCODER_TRAIN trains: finite loss, decreasing over
+    repeated steps on one batch, params actually move."""
+    cfg = _tiny_cfg(FUSED_ENCODER_TRAIN=True)
+    params = init_params(cfg)
+    p0 = jax.tree.map(np.asarray, params)
+    trainer = Trainer(config=cfg, params=params, output_dir=str(tmp_path),
+                      steps_per_epoch=10)
+    batch = _fake_batch(cfg, batch=8)
+    logs = trainer.train_epoch([batch], epoch=0)
+    first = logs[0]["loss"]
+    assert np.isfinite(first)
+    for _ in range(4):
+        logs = trainer.train_epoch([batch], epoch=0)
+    assert logs[0]["loss"] < first
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p0, jax.device_get(trainer.state.params),
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_fused_train_rejects_unsupported_configs():
+    from sam_road_tpu.training.harness import make_train_step
+
+    with pytest.raises(ValueError, match="decoder"):
+        make_train_step(_tiny_cfg(FUSED_ENCODER_TRAIN=True,
+                                  USE_SAM_DECODER=True))
+    with pytest.raises(ValueError, match="LORA"):
+        make_train_step(_tiny_cfg(FUSED_ENCODER_TRAIN=True,
+                                  ENCODER_LORA=True, LORA_RANK=2))
