@@ -49,10 +49,13 @@ def _fake_batch(cfg, batch, n_pts=256, seed=0):
 
 def _build(cfg, params, batch):
     tx = build_optimizer(cfg, params, steps_per_epoch=100)
+    # each arm gets its OWN device buffers: the step donates its state, so
+    # sharing param arrays between arms would delete the other arm's state
+    own = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=jax.device_put(params),
-        opt_state=jax.device_put(tx.init(params)),
+        params=own,
+        opt_state=jax.device_put(tx.init(own)),
     )
     raw = make_train_step(cfg)
     step = jax.jit(partial(raw, tx=tx), donate_argnums=(0,))
