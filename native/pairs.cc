@@ -32,15 +32,23 @@ int64_t samroad_build_pairs(
     uint8_t* valid) {  // [nb, cap, max_nbr]
   // bucket points on a uniform grid (cell = radius) once
   double cell = radius > 0 ? radius : 1.0;
-  double minx = 0, miny = 0;
+  double minx = 0, miny = 0, maxx = 0, maxy = 0;
   if (n > 0) {
-    minx = points[0];
-    miny = points[1];
+    minx = maxx = points[0];
+    miny = maxy = points[1];
     for (int64_t i = 1; i < n; ++i) {
       minx = std::min(minx, points[2 * i]);
+      maxx = std::max(maxx, points[2 * i]);
       miny = std::min(miny, points[2 * i + 1]);
+      maxy = std::max(maxy, points[2 * i + 1]);
     }
   }
+  // The cell size only accelerates bucketing (the r^2 distance check is
+  // exact), so clamp it to keep the grid allocation bounded: a radius far
+  // below the point extent would otherwise size nx*ny ~ (extent/radius)^2
+  // (e.g. radius 1e-3 over 2048 px -> 4e12 cells -> bad_alloc).
+  double extent = std::max(maxx - minx, maxy - miny);
+  if (extent > 0) cell = std::max(cell, extent / 4096.0);
   auto cx = [&](double x) { return (int64_t)std::floor((x - minx) / cell); };
   auto cy = [&](double y) { return (int64_t)std::floor((y - miny) / cell); };
   int64_t nx = 1, ny = 1;

@@ -129,11 +129,25 @@ DEFAULTS: dict = {
     # and pipelined, while packing delays every dispatch until all
     # batches are built. Default off; kept for slower links.
     "INFER_P2_PACK_ARGS": False,
+    # aggregate phase-2 edge scores ON DEVICE: each batch's program
+    # scatter-adds its int16 fixed-point scores into a per-unique-edge
+    # int32 accumulator (sum/count/nan-count) that stays HBM-resident;
+    # ONE small [E, 3] fetch replaces the grouped per-pair score
+    # transfer, which tools/profile_extract_p2.py measured as
+    # LATENCY-bound (1.4 MB in 0.13-0.19 s). Integer accumulation keeps
+    # per-edge sums exact. Single-chip engines only (the dp-sharded
+    # path keeps per-shard fetches). Reference host loop:
+    # inferencer.py:209-221.
+    "INFER_P2_DEVICE_AGG": False,
     "FUSED_ENCODER": False,
     # Route the TRAINING step's encoder through the differentiable fused
     # kernels (custom_vjp: Pallas forward, XLA-recompute backward —
     # models/fast_encoder.encoder_forward_fused(differentiable=True)).
     # Grad parity vs flax autodiff tested in tests/test_fused_train.py.
+    # Measured NEGATIVE for speed (paired A/B 2026-08-19: 0.400 vs flax
+    # 0.366 s/step no-remat, 0.444 vs 0.435 remat) — the recompute
+    # backward re-runs the forward in XLA, costing more than the Pallas
+    # forward saves. Stays off; see docs/DESIGN.md "Fused training step".
     "FUSED_ENCODER_TRAIN": False,
     # v2 kernel window grouping. ga/gm >= 4 give the kernels MXU-friendly M
     # but crash this platform's AOT compile helper at flagship window counts

@@ -139,6 +139,7 @@ class TiledInferenceEngine:
             self._phase1_region = jax.jit(self._phase1_region_impl)
         self._sharded_cache: dict = {}  # memoized jitted programs
         self._phase2 = jax.jit(self._phase2_impl)
+        self._phase2_agg = jax.jit(self._phase2_agg_impl, donate_argnums=(6,))
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
         self.last_timings: dict = {}
@@ -683,6 +684,29 @@ class TiledInferenceEngine:
         return batches, ("stream", *chunks)
 
     def _phase2_impl(self, params, feats, points, tgt, valid_packed):
+        return self._scores_q(params, feats, points, tgt, valid_packed)
+
+    def _phase2_agg_impl(self, params, feats, points, tgt, valid_packed,
+                         edge_ids, acc):
+        """Score one batch and scatter-add its int16 fixed-point scores into
+        the per-unique-edge accumulator acc [E_pad + 1, 3] = (sum_q, count,
+        nan_count). edge_ids routes every (patch, point, neighbor) slot to
+        its unique-edge row; invalid/padding slots route to the E_pad
+        sentinel row, which the host discards. acc is DONATED and chains
+        across the per-batch dispatches, so phase 2 ends with ONE tiny
+        [E_pad + 1, 3] int32 fetch instead of the grouped per-pair score
+        transfer (measured latency-bound: tools/profile_extract_p2.py).
+        Integer accumulation is associative, so per-edge sums are exact.
+        Replaces the reference's host aggregation loop
+        (inferencer.py:209-221)."""
+        q = self._scores_q(params, feats, points, tgt, valid_packed)[..., 0]
+        flat = edge_ids.reshape(-1)
+        qf = q.reshape(-1).astype(jnp.int32)
+        isnan = (qf == -(2 ** 15)).astype(jnp.int32)
+        vals = jnp.stack([qf, jnp.ones_like(qf), isnan], axis=-1)
+        return acc.at[flat].add(vals)
+
+    def _scores_q(self, params, feats, points, tgt, valid_packed):
         if feats.ndim == 5:  # sharded layout [n, b, h, w, C] -> [n*b, ...]
             feats = feats.reshape((-1,) + feats.shape[2:])
         # compact host->device transport (uint16 coords are exact for pixel
@@ -887,7 +911,12 @@ class TiledInferenceEngine:
         # identical. Single-chip only; the sharded path keeps per-batch
         # puts (its args are placed per shard).
         pack = bool(cfg.INFER_P2_PACK_ARGS) and self.n_shards == 1
-        built = []  # (feats_b, per_patch, bpoints, btgt, bvalid_packed, S)
+        # Device-side edge aggregation needs the global unique-edge table
+        # before the first dispatch, so it also builds all batches first
+        # (and takes precedence over pack).
+        agg = bool(cfg.INFER_P2_DEVICE_AGG) and self.n_shards == 1
+        built = []  # (feats_b, per_patch, bpoints, btgt, bvalid_packed, S,
+        #              bvalid)
 
         for feats_b, info in batches:
             tloop = time.time()
@@ -926,9 +955,10 @@ class TiledInferenceEngine:
             bvalid_packed = np.packbits(bvalid, axis=-1)
             fine["p2_build"] += time.time() - tloop
 
-            if pack:
+            if pack or agg:
                 built.append(
-                    (feats_b, per_patch, bpoints, btgt, bvalid_packed, S))
+                    (feats_b, per_patch, bpoints, btgt, bvalid_packed, S,
+                     bvalid))
                 continue
             # dispatch only (async) — fetching here would serialize host
             # pair-building with device scoring. Sharded feats arrive as
@@ -941,7 +971,63 @@ class TiledInferenceEngine:
             fine["p2_dispatch"] += time.time() - tdisp
             pending.append((scores_dev, per_patch))
 
-        if pack and built:
+        agg_edges = None
+        if agg and built:
+            # ---- device-side per-edge aggregation ----
+            # global unique-edge table (host): map each batch's (row, tgt)
+            # local pair to its global key src_gidx * N + tgt_gidx — the
+            # same keying the host reduction below uses
+            tkey = time.time()
+            N_pts = graph_points.shape[0]
+            keys_per, all_keys = [], []
+            for (_, per_patch, _, btgt_a, _, S, bvalid_a) in built:
+                gp = np.zeros((B, S), np.int64)
+                for i, (pidx, pts, _, _) in enumerate(per_patch):
+                    gp[i, : pts.shape[0]] = pidx
+                gtgt = gp[np.arange(B)[:, None, None], btgt_a.astype(np.int64)]
+                keys = gp[:, :, None] * np.int64(N_pts) + gtgt
+                keys_per.append(keys)
+                all_keys.append(keys[bvalid_a])
+            cat = np.concatenate(all_keys)
+            fine["p2_build"] += time.time() - tkey
+            if cat.size == 0:
+                agg_edges = np.zeros((0, 2), dtype=np.int64)
+            else:
+                uniq = np.unique(cat)
+                E = uniq.shape[0]
+                # bucket the accumulator length so region-to-region edge
+                # counts reuse compiles (same rationale as point buckets)
+                E_pad = _bucket_size(E, 1024)
+                tdisp = time.time()
+                acc = jnp.zeros((E_pad + 1, 3), jnp.int32)
+                for bi, (feats_b, _, bpoints_a, btgt_a, bvp_a, S,
+                         bvalid_a) in enumerate(built):
+                    eid = np.searchsorted(uniq, keys_per[bi]).astype(np.int32)
+                    eid[~bvalid_a] = E_pad
+                    acc = self._phase2_agg(
+                        self.params, feats_b, put_batch(bpoints_a),
+                        put_batch(btgt_a), put_batch(bvp_a),
+                        put_batch(eid), acc,
+                    )
+                fine["p2_dispatch"] += time.time() - tdisp
+                tfetch = time.time()
+                acc_np = np.asarray(acc)  # ONE [E_pad + 1, 3] int32 fetch
+                fine["p2_fetch"] += time.time() - tfetch
+                sum_q = acc_np[:E, 0].astype(np.float64)
+                cnt = np.maximum(acc_np[:E, 1].astype(np.float64), 1.0)
+                nanc = acc_np[:E, 2].astype(np.float64)
+                # decode: valid scores summed as int16 fixed-point; each NaN
+                # contributed the -32768 sentinel to sum_q and must become
+                # the reference's -100 poisoning (inferencer.py:206) instead
+                sums = (sum_q + 32768.0 * nanc) / 32767.0 - 100.0 * nanc
+                avg = sums / cnt
+                kept = uniq[avg > cfg.TOPO_THRESHOLD]
+                agg_edges = (
+                    np.stack([kept // N_pts, kept % N_pts], axis=1)
+                    if kept.size else np.zeros((0, 2), dtype=np.int64)
+                )
+
+        if pack and built and not agg:
             tdisp = time.time()
             nb = len(built)
             S_max = max(e[5] for e in built)
@@ -949,14 +1035,14 @@ class TiledInferenceEngine:
             pk_pts = np.zeros((nb, B, S_max, 2), np.uint16)
             pk_tgt = np.zeros((nb, B, S_max, max_nbr), np.int16)
             pk_val = np.zeros((nb, B, S_max, pb), np.uint8)
-            for i, (_, _, bp_a, bt_a, bv_a, S) in enumerate(built):
+            for i, (_, _, bp_a, bt_a, bv_a, S, _) in enumerate(built):
                 pk_pts[i, :, :S] = bp_a
                 pk_tgt[i, :, :S] = bt_a
                 pk_val[i, :, :S] = bv_a
             dev_pts = jnp.asarray(pk_pts)
             dev_tgt = jnp.asarray(pk_tgt)
             dev_val = jnp.asarray(pk_val)
-            for i, (feats_b, per_patch, _, _, _, S) in enumerate(built):
+            for i, (feats_b, per_patch, _, _, _, S, _) in enumerate(built):
                 scores_dev = self._phase2(
                     self.params, feats_b, dev_pts[i, :, :S],
                     dev_tgt[i, :, :S], dev_val[i, :, :S],
@@ -1023,7 +1109,9 @@ class TiledInferenceEngine:
                 all_score.append(scores[i, :n][v])
 
         t3 = time.time()
-        if not all_src:
+        if agg_edges is not None:
+            pred_edges = agg_edges
+        elif not all_src:
             pred_edges = np.zeros((0, 2), dtype=np.int64)
         else:
             src = np.concatenate(all_src)

@@ -260,3 +260,58 @@ def test_p2_packed_args_exact(tiny_setup):
     np.testing.assert_array_equal(kp0, kp1)
     np.testing.assert_array_equal(n0, n1)
     np.testing.assert_array_equal(e0, e1)
+
+
+def test_p2_device_agg_exact(tiny_setup):
+    """INFER_P2_DEVICE_AGG scatter-adds int16 fixed-point scores into a
+    per-unique-edge int32 accumulator on device and fetches one [E, 3]
+    array; the per-edge integer sums are exactly the host path's (same q
+    values, associative integer addition), so the node set, masks, and
+    kept edge set must match the host-aggregated path."""
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
+    shared = {k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}
+    host = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_P2_DEVICE_AGG": False}),
+        params, point_bucket=16,
+    )
+    dev = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_P2_DEVICE_AGG": True}),
+        params, point_bucket=16,
+    )
+    n0, e0, kp0, rd0 = host.infer_one_img(img)
+    n1, e1, kp1, rd1 = dev.infer_one_img(img)
+    assert e0.shape[0] > 0, "fixture must exercise real edges"
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(rd0, rd1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
+
+
+def test_p2_device_agg_no_valid_pairs(tiny_setup):
+    """Vertices exist but a tiny NEIGHBOR_RADIUS leaves every pair slot
+    invalid: the agg path must skip dispatch (empty unique-edge table)
+    and return no edges, matching the host path."""
+    cfg, params = tiny_setup
+    ov = {k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}
+    img = np.random.default_rng(48).integers(
+        0, 255, (192, 192, 3), dtype=np.uint8)
+    eng = TiledInferenceEngine(
+        load_config(overrides={**ov, "NEIGHBOR_RADIUS": 1e-3,
+                               "INFER_P2_DEVICE_AGG": True}),
+        params, point_bucket=16,
+    )
+    nodes, edges, _, _ = eng.infer_one_img(img)
+    assert nodes.shape[0] > 0
+    assert edges.shape == (0, 2)
