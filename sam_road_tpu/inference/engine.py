@@ -139,7 +139,7 @@ class TiledInferenceEngine:
             self._phase1_region = jax.jit(self._phase1_region_impl)
         self._sharded_cache: dict = {}  # memoized jitted programs
         self._phase2 = jax.jit(self._phase2_impl)
-        self._phase2_agg = jax.jit(self._phase2_agg_impl, donate_argnums=(6,))
+        self._phase2_agg = jax.jit(self._phase2_agg_impl, donate_argnums=(7,))
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
         self.last_timings: dict = {}
@@ -687,20 +687,37 @@ class TiledInferenceEngine:
         return self._scores_q(params, feats, points, tgt, valid_packed)
 
     def _phase2_agg_impl(self, params, feats, points, tgt, valid_packed,
-                         edge_ids, acc):
+                         gpidx, uniq_keys, acc):
         """Score one batch and scatter-add its int16 fixed-point scores into
         the per-unique-edge accumulator acc [E_pad + 1, 3] = (sum_q, count,
-        nan_count). edge_ids routes every (patch, point, neighbor) slot to
-        its unique-edge row; invalid/padding slots route to the E_pad
-        sentinel row, which the host discards. acc is DONATED and chains
-        across the per-batch dispatches, so phase 2 ends with ONE tiny
-        [E_pad + 1, 3] int32 fetch instead of the grouped per-pair score
-        transfer (measured latency-bound: tools/profile_extract_p2.py).
-        Integer accumulation is associative, so per-edge sums are exact.
-        Replaces the reference's host aggregation loop
-        (inferencer.py:209-221)."""
+        nan_count). The edge row for every (patch, point, neighbor) slot is
+        computed ON DEVICE: gpidx [B, S] carries each local point's global
+        vertex index (uint16, ~8 KB/batch — a first cut that uploaded
+        precomputed int32 edge-id tables instead measured the upload
+        erasing the fetch win, ~1 MB x 8 RTT-bound transfers), keys pack as
+        src << 16 | tgt in uint32 (same lexicographic order as the host's
+        src * N + tgt for N < 65536, so device searchsorted against the
+        once-per-region sorted uniq_keys table lands on the host table's
+        rows). Invalid/padding slots route to the E_pad sentinel row, which
+        the host discards. acc is DONATED and chains across the per-batch
+        dispatches, so phase 2 ends with ONE tiny [E_pad + 1, 3] int32
+        fetch instead of the grouped per-pair score transfer (measured
+        latency-bound: tools/profile_extract_p2.py). Integer accumulation
+        is associative, so per-edge sums are exact. Replaces the
+        reference's host aggregation loop (inferencer.py:209-221)."""
         q = self._scores_q(params, feats, points, tgt, valid_packed)[..., 0]
-        flat = edge_ids.reshape(-1)
+        B, S, K = tgt.shape
+        gp = gpidx.astype(jnp.uint32)
+        gtgt = jnp.take_along_axis(
+            gp, tgt.reshape(B, S * K).astype(jnp.int32), axis=1,
+        ).reshape(B, S, K)
+        key = (gp[:, :, None] << 16) | gtgt
+        rows = jnp.searchsorted(uniq_keys, key.reshape(-1)).astype(jnp.int32)
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (valid_packed[..., None] >> shifts) & jnp.uint8(1)
+        valid = bits.reshape(B, S, -1)[..., :K].astype(bool)
+        sentinel = acc.shape[0] - 1
+        flat = jnp.where(valid.reshape(-1), rows, sentinel)
         qf = q.reshape(-1).astype(jnp.int32)
         isnan = (qf == -(2 ** 15)).astype(jnp.int32)
         vals = jnp.stack([qf, jnp.ones_like(qf), isnan], axis=-1)
@@ -913,8 +930,12 @@ class TiledInferenceEngine:
         pack = bool(cfg.INFER_P2_PACK_ARGS) and self.n_shards == 1
         # Device-side edge aggregation needs the global unique-edge table
         # before the first dispatch, so it also builds all batches first
-        # (and takes precedence over pack).
-        agg = bool(cfg.INFER_P2_DEVICE_AGG) and self.n_shards == 1
+        # (and takes precedence over pack). Plain single-device engines
+        # only: the dp-sharded path places args per shard, and the SP
+        # path's mesh-sharded feats haven't been validated against the
+        # donated-accumulator chain.
+        agg = (bool(cfg.INFER_P2_DEVICE_AGG) and self.n_shards == 1
+               and self.sp_shards <= 1)
         built = []  # (feats_b, per_patch, bpoints, btgt, bvalid_packed, S,
         #              bvalid)
 
@@ -979,35 +1000,46 @@ class TiledInferenceEngine:
             # same keying the host reduction below uses
             tkey = time.time()
             N_pts = graph_points.shape[0]
-            keys_per, all_keys = [], []
+            assert N_pts < 65536, (
+                "device edge aggregation packs vertex indices into uint16 "
+                "key halves; regions with >= 65536 vertices must use the "
+                "host aggregation path (INFER_P2_DEVICE_AGG: false)"
+            )
+            gp_per, all_keys = [], []
             for (_, per_patch, _, btgt_a, _, S, bvalid_a) in built:
-                gp = np.zeros((B, S), np.int64)
+                gp = np.zeros((B, S), np.uint16)
                 for i, (pidx, pts, _, _) in enumerate(per_patch):
                     gp[i, : pts.shape[0]] = pidx
-                gtgt = gp[np.arange(B)[:, None, None], btgt_a.astype(np.int64)]
-                keys = gp[:, :, None] * np.int64(N_pts) + gtgt
-                keys_per.append(keys)
+                gtgt = gp[np.arange(B)[:, None, None],
+                          btgt_a.astype(np.int64)].astype(np.uint32)
+                keys = (gp[:, :, None].astype(np.uint32) << 16) | gtgt
+                gp_per.append(gp)
                 all_keys.append(keys[bvalid_a])
             cat = np.concatenate(all_keys)
             fine["p2_build"] += time.time() - tkey
             if cat.size == 0:
                 agg_edges = np.zeros((0, 2), dtype=np.int64)
             else:
+                # src << 16 | tgt sorts in the same lexicographic (src, tgt)
+                # order as the src * N + tgt keying of the host reduction
                 uniq = np.unique(cat)
                 E = uniq.shape[0]
                 # bucket the accumulator length so region-to-region edge
-                # counts reuse compiles (same rationale as point buckets)
+                # counts reuse compiles (same rationale as point buckets);
+                # pad the key table with the max key so device searchsorted
+                # never lands on padding for a real key
                 E_pad = _bucket_size(E, 1024)
+                uniq_padded = np.full(E_pad, np.uint32(0xFFFFFFFF))
+                uniq_padded[:E] = uniq
                 tdisp = time.time()
+                uniq_dev = jnp.asarray(uniq_padded)  # once per region
                 acc = jnp.zeros((E_pad + 1, 3), jnp.int32)
                 for bi, (feats_b, _, bpoints_a, btgt_a, bvp_a, S,
                          bvalid_a) in enumerate(built):
-                    eid = np.searchsorted(uniq, keys_per[bi]).astype(np.int32)
-                    eid[~bvalid_a] = E_pad
                     acc = self._phase2_agg(
                         self.params, feats_b, put_batch(bpoints_a),
                         put_batch(btgt_a), put_batch(bvp_a),
-                        put_batch(eid), acc,
+                        put_batch(gp_per[bi]), uniq_dev, acc,
                     )
                 fine["p2_dispatch"] += time.time() - tdisp
                 tfetch = time.time()
@@ -1021,9 +1053,9 @@ class TiledInferenceEngine:
                 # the reference's -100 poisoning (inferencer.py:206) instead
                 sums = (sum_q + 32768.0 * nanc) / 32767.0 - 100.0 * nanc
                 avg = sums / cnt
-                kept = uniq[avg > cfg.TOPO_THRESHOLD]
+                kept = uniq[avg > cfg.TOPO_THRESHOLD].astype(np.int64)
                 agg_edges = (
-                    np.stack([kept // N_pts, kept % N_pts], axis=1)
+                    np.stack([kept >> 16, kept & 0xFFFF], axis=1)
                     if kept.size else np.zeros((0, 2), dtype=np.int64)
                 )
 
