@@ -139,7 +139,7 @@ class TiledInferenceEngine:
             self._phase1_region = jax.jit(self._phase1_region_impl)
         self._sharded_cache: dict = {}  # memoized jitted programs
         self._phase2 = jax.jit(self._phase2_impl)
-        self._phase2_agg = jax.jit(self._phase2_agg_impl, donate_argnums=(7,))
+        self._phase2_agg = jax.jit(self._phase2_agg_impl, donate_argnums=(6,))
         # wall-time accounting, mirrors inference_time.txt (reference:
         # inferencer.py:271-281)
         self.last_timings: dict = {}
@@ -687,37 +687,27 @@ class TiledInferenceEngine:
         return self._scores_q(params, feats, points, tgt, valid_packed)
 
     def _phase2_agg_impl(self, params, feats, points, tgt, valid_packed,
-                         gpidx, uniq_keys, acc):
+                         edge_ids, acc):
         """Score one batch and scatter-add its int16 fixed-point scores into
         the per-unique-edge accumulator acc [E_pad + 1, 3] = (sum_q, count,
-        nan_count). The edge row for every (patch, point, neighbor) slot is
-        computed ON DEVICE: gpidx [B, S] carries each local point's global
-        vertex index (uint16, ~8 KB/batch — a first cut that uploaded
-        precomputed int32 edge-id tables instead measured the upload
-        erasing the fetch win, ~1 MB x 8 RTT-bound transfers), keys pack as
-        src << 16 | tgt in uint32 (same lexicographic order as the host's
-        src * N + tgt for N < 65536, so device searchsorted against the
-        once-per-region sorted uniq_keys table lands on the host table's
-        rows). Invalid/padding slots route to the E_pad sentinel row, which
-        the host discards. acc is DONATED and chains across the per-batch
-        dispatches, so phase 2 ends with ONE tiny [E_pad + 1, 3] int32
-        fetch instead of the grouped per-pair score transfer (measured
-        latency-bound: tools/profile_extract_p2.py). Integer accumulation
-        is associative, so per-edge sums are exact. Replaces the
-        reference's host aggregation loop (inferencer.py:209-221)."""
+        nan_count). edge_ids [B, S, K] uint16 routes every (patch, point,
+        neighbor) slot to its unique-edge row — computed on HOST (a ~1 ms
+        searchsorted per batch) and shipped for ALL batches in one packed
+        upload that this program receives as a device-side slice; the host
+        bakes validity in by routing invalid/padding slots to the E_pad
+        sentinel row, which it discards after the fetch. Two measured dead
+        ends shaped this design (docs/DESIGN.md round-4): per-batch int32
+        edge-id uploads were RTT-bound (+0.04-0.14 s/region) and computing
+        the rows on device via packed-key searchsorted cost ~19 ms/batch of
+        device time — more than the transfer either saved. acc is DONATED
+        and chains across the per-batch dispatches, so phase 2 ends with
+        ONE tiny [E_pad + 1, 3] int32 fetch instead of the grouped per-pair
+        score transfer (measured latency-bound:
+        tools/profile_extract_p2.py). Integer accumulation is associative,
+        so per-edge sums are exact. Replaces the reference's host
+        aggregation loop (inferencer.py:209-221)."""
         q = self._scores_q(params, feats, points, tgt, valid_packed)[..., 0]
-        B, S, K = tgt.shape
-        gp = gpidx.astype(jnp.uint32)
-        gtgt = jnp.take_along_axis(
-            gp, tgt.reshape(B, S * K).astype(jnp.int32), axis=1,
-        ).reshape(B, S, K)
-        key = (gp[:, :, None] << 16) | gtgt
-        rows = jnp.searchsorted(uniq_keys, key.reshape(-1)).astype(jnp.int32)
-        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-        bits = (valid_packed[..., None] >> shifts) & jnp.uint8(1)
-        valid = bits.reshape(B, S, -1)[..., :K].astype(bool)
-        sentinel = acc.shape[0] - 1
-        flat = jnp.where(valid.reshape(-1), rows, sentinel)
+        flat = edge_ids.astype(jnp.int32).reshape(-1)
         qf = q.reshape(-1).astype(jnp.int32)
         isnan = (qf == -(2 ** 15)).astype(jnp.int32)
         vals = jnp.stack([qf, jnp.ones_like(qf), isnan], axis=-1)
@@ -1005,7 +995,7 @@ class TiledInferenceEngine:
                 "key halves; regions with >= 65536 vertices must use the "
                 "host aggregation path (INFER_P2_DEVICE_AGG: false)"
             )
-            gp_per, all_keys = [], []
+            keys_per, all_keys = [], []
             for (_, per_patch, _, btgt_a, _, S, bvalid_a) in built:
                 gp = np.zeros((B, S), np.uint16)
                 for i, (pidx, pts, _, _) in enumerate(per_patch):
@@ -1013,11 +1003,11 @@ class TiledInferenceEngine:
                 gtgt = gp[np.arange(B)[:, None, None],
                           btgt_a.astype(np.int64)].astype(np.uint32)
                 keys = (gp[:, :, None].astype(np.uint32) << 16) | gtgt
-                gp_per.append(gp)
+                keys_per.append(keys)
                 all_keys.append(keys[bvalid_a])
             cat = np.concatenate(all_keys)
-            fine["p2_build"] += time.time() - tkey
             if cat.size == 0:
+                fine["p2_build"] += time.time() - tkey
                 agg_edges = np.zeros((0, 2), dtype=np.int64)
             else:
                 # src << 16 | tgt sorts in the same lexicographic (src, tgt)
@@ -1026,20 +1016,34 @@ class TiledInferenceEngine:
                 E = uniq.shape[0]
                 # bucket the accumulator length so region-to-region edge
                 # counts reuse compiles (same rationale as point buckets);
-                # pad the key table with the max key so device searchsorted
-                # never lands on padding for a real key
+                # the E_pad sentinel row must fit the uint16 transport
                 E_pad = _bucket_size(E, 1024)
-                uniq_padded = np.full(E_pad, np.uint32(0xFFFFFFFF))
-                uniq_padded[:E] = uniq
+                assert E_pad <= 65535, (
+                    "unique-edge count exceeds the uint16 edge-id "
+                    "transport; use INFER_P2_DEVICE_AGG: false"
+                )
+                # edge-id tables for ALL batches in ONE packed upload
+                # (per-batch puts measured RTT-bound); sliced per batch
+                # on device
+                nb = len(built)
+                S_max = max(e[5] for e in built)
+                K = max_nbr
+                eids = np.full((nb, B, S_max, K), E_pad, np.uint16)
+                for bi, (_, _, _, _, _, S, bvalid_a) in enumerate(built):
+                    eid = np.searchsorted(
+                        uniq, keys_per[bi]).astype(np.uint16)
+                    eid[~bvalid_a] = E_pad
+                    eids[bi, :, :S] = eid
+                fine["p2_build"] += time.time() - tkey
                 tdisp = time.time()
-                uniq_dev = jnp.asarray(uniq_padded)  # once per region
+                dev_eids = jnp.asarray(eids)
                 acc = jnp.zeros((E_pad + 1, 3), jnp.int32)
                 for bi, (feats_b, _, bpoints_a, btgt_a, bvp_a, S,
-                         bvalid_a) in enumerate(built):
+                         _) in enumerate(built):
                     acc = self._phase2_agg(
                         self.params, feats_b, put_batch(bpoints_a),
                         put_batch(btgt_a), put_batch(bvp_a),
-                        put_batch(gp_per[bi]), uniq_dev, acc,
+                        dev_eids[bi, :, :S], acc,
                     )
                 fine["p2_dispatch"] += time.time() - tdisp
                 tfetch = time.time()
