@@ -119,6 +119,12 @@ DEFAULTS: dict = {
     # interleaved rounds, 2026-08-18): taper won EVERY round, paired
     # delta median +0.282 s/region, phase1 min 1.956 vs 2.169 s
     "INFER_STREAM_TAPER": True,
+    # serialize the streamed phase-1 slab uploads (one H2D in flight at a
+    # time, slab i+1 host-blocked under band i's compute). Concurrent
+    # device_puts share the link round-robin on this runtime, so band 0
+    # otherwise waits ~the whole-region upload before computing
+    # (tools/probe_stream_sched.py, 2026-08-19).
+    "INFER_STREAM_SERIAL_UPLOAD": True,
     # phase-2 grouped score fetch in k dispatch-ordered waves: wave 1's
     # transfer rides under the later batches' TopoNet time
     "INFER_P2_FETCH_WAVES": 1,

@@ -632,10 +632,26 @@ class TiledInferenceEngine:
         k = len(bands)
         # disjoint slabs: slab i covers pixel cols [e_{i-1}, e_i)
         slab_lo = [0] + [b["e"] for b in bands[:-1]]
-        slabs = [
-            jax.device_put(np.ascontiguousarray(img[:, lo : b["e"]]))
-            for lo, b in zip(slab_lo, bands)
-        ]
+        serial = bool(self.config.INFER_STREAM_SERIAL_UPLOAD)
+
+        def _put_slab(i):
+            return jax.device_put(
+                np.ascontiguousarray(img[:, slab_lo[i] : bands[i]["e"]])
+            )
+
+        if serial:
+            # Serialize the H2D slab uploads: concurrently-dispatched
+            # device_puts SHARE the host link round-robin on this runtime
+            # (measured: 4 concurrent slabs all complete together at the
+            # whole-region upload time, so band 0's compute waited ~0.3-0.5 s
+            # for pixels it doesn't need). One transfer in flight at a time
+            # gets slab 0 on device at its own ~2 MB cost; slab i+1 is
+            # uploaded (and host-blocked) UNDER band i's queued compute.
+            slabs = [None] * k
+            slabs[0] = _put_slab(0)
+            slabs[0].block_until_ready()
+        else:
+            slabs = [_put_slab(i) for i in range(k)]
 
         def coords(info_slice, x_off):
             r = len(info_slice) // B
@@ -681,6 +697,11 @@ class TiledInferenceEngine:
             for r in range(len(info) // B):
                 batches.append((feats[r], list(info[r * B : (r + 1) * B])))
             prev = (fused, cnt, a, e)
+            if serial and i + 1 < k:
+                # next band's pixels cross the link while this band computes;
+                # the host block keeps at most ONE H2D transfer in flight
+                slabs[i + 1] = _put_slab(i + 1)
+                slabs[i + 1].block_until_ready()
         return batches, ("stream", *chunks)
 
     def _phase2_impl(self, params, feats, points, tgt, valid_packed):
