@@ -48,7 +48,15 @@ int64_t samroad_build_pairs(
   // below the point extent would otherwise size nx*ny ~ (extent/radius)^2
   // (e.g. radius 1e-3 over 2048 px -> 4e12 cells -> bad_alloc).
   double extent = std::max(maxx - minx, maxy - miny);
-  if (extent > 0) cell = std::max(cell, extent / 4096.0);
+  if (extent > 0) {
+    cell = std::max(cell, extent / 4096.0);
+    // Additionally bound the grid by point count: with few points a
+    // radius-sized cell over a huge extent would still allocate up to
+    // 4096x4096 offsets (~134 MB per call). sqrt(n)+1 cells per axis keeps
+    // the grid O(n) while preserving the exact r^2 membership check.
+    cell = std::max(
+        cell, extent / (std::sqrt((double)std::max<int64_t>(n, 1)) + 1.0));
+  }
   auto cx = [&](double x) { return (int64_t)std::floor((x - minx) / cell); };
   auto cy = [&](double y) { return (int64_t)std::floor((y - miny) / cell); };
   int64_t nx = 1, ny = 1;

@@ -41,6 +41,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Device-side phase-2 aggregation transports vertex ids and edge ids as
+# uint16; regions beyond these limits auto-fall back to the host reduction
+# (module-level so tests can exercise the fallback on small fixtures).
+_AGG_MAX_VERTS = 65536
+_AGG_MAX_EDGE_PAD = 65535
+
+
 def _bucket_size(x: int, minimum: int) -> int:
     """Next power of two >= max(x, minimum): phase-2 pads point counts to a
     tiny set of shapes because every new shape is a fresh XLA compile (and
@@ -947,6 +954,16 @@ class TiledInferenceEngine:
         # donated-accumulator chain.
         agg = (bool(cfg.INFER_P2_DEVICE_AGG) and self.n_shards == 1
                and self.sp_shards <= 1)
+        if agg and graph_points.shape[0] >= _AGG_MAX_VERTS:
+            # device edge aggregation packs vertex indices into uint16 key
+            # halves; oversized regions fall back to the host reduction
+            # (identical results by construction) instead of failing.
+            print(
+                "[engine] INFER_P2_DEVICE_AGG: region has "
+                f"{graph_points.shape[0]} vertices >= {_AGG_MAX_VERTS}; "
+                "falling back to host edge aggregation"
+            )
+            agg = False
         built = []  # (feats_b, per_patch, bpoints, btgt, bvalid_packed, S,
         #              bvalid)
 
@@ -1003,19 +1020,15 @@ class TiledInferenceEngine:
             fine["p2_dispatch"] += time.time() - tdisp
             pending.append((scores_dev, per_patch))
 
-        agg_edges = None
-        if agg and built:
+        def _device_agg():
             # ---- device-side per-edge aggregation ----
             # global unique-edge table (host): map each batch's (row, tgt)
             # local pair to its global key src_gidx * N + tgt_gidx — the
-            # same keying the host reduction below uses
+            # same keying the host reduction below uses. Returns None when
+            # the region exceeds the uint16 edge-id transport (caller falls
+            # back to the host reduction — identical results by
+            # construction, see the int64 decode below).
             tkey = time.time()
-            N_pts = graph_points.shape[0]
-            assert N_pts < 65536, (
-                "device edge aggregation packs vertex indices into uint16 "
-                "key halves; regions with >= 65536 vertices must use the "
-                "host aggregation path (INFER_P2_DEVICE_AGG: false)"
-            )
             keys_per, all_keys = [], []
             for (_, per_patch, _, btgt_a, _, S, bvalid_a) in built:
                 gp = np.zeros((B, S), np.uint16)
@@ -1029,62 +1042,70 @@ class TiledInferenceEngine:
             cat = np.concatenate(all_keys)
             if cat.size == 0:
                 fine["p2_build"] += time.time() - tkey
-                agg_edges = np.zeros((0, 2), dtype=np.int64)
-            else:
-                # src << 16 | tgt sorts in the same lexicographic (src, tgt)
-                # order as the src * N + tgt keying of the host reduction
-                uniq = np.unique(cat)
-                E = uniq.shape[0]
-                # bucket the accumulator length so region-to-region edge
-                # counts reuse compiles (same rationale as point buckets);
-                # the E_pad sentinel row must fit the uint16 transport
-                E_pad = _bucket_size(E, 1024)
-                assert E_pad <= 65535, (
-                    "unique-edge count exceeds the uint16 edge-id "
-                    "transport; use INFER_P2_DEVICE_AGG: false"
+                return np.zeros((0, 2), dtype=np.int64)
+            # src << 16 | tgt sorts in the same lexicographic (src, tgt)
+            # order as the src * N + tgt keying of the host reduction
+            uniq = np.unique(cat)
+            E = uniq.shape[0]
+            # bucket the accumulator length so region-to-region edge
+            # counts reuse compiles (same rationale as point buckets);
+            # the E_pad sentinel row must fit the uint16 transport
+            E_pad = _bucket_size(E, 1024)
+            if E_pad > _AGG_MAX_EDGE_PAD:
+                print(
+                    f"[engine] INFER_P2_DEVICE_AGG: {E} unique edges "
+                    "exceed the uint16 edge-id transport; falling back "
+                    "to host edge aggregation"
                 )
-                # edge-id tables for ALL batches in ONE packed upload
-                # (per-batch puts measured RTT-bound); sliced per batch
-                # on device
-                nb = len(built)
-                S_max = max(e[5] for e in built)
-                K = max_nbr
-                eids = np.full((nb, B, S_max, K), E_pad, np.uint16)
-                for bi, (_, _, _, _, _, S, bvalid_a) in enumerate(built):
-                    eid = np.searchsorted(
-                        uniq, keys_per[bi]).astype(np.uint16)
-                    eid[~bvalid_a] = E_pad
-                    eids[bi, :, :S] = eid
                 fine["p2_build"] += time.time() - tkey
-                tdisp = time.time()
-                dev_eids = jnp.asarray(eids)
-                acc = jnp.zeros((E_pad + 1, 3), jnp.int32)
-                for bi, (feats_b, _, bpoints_a, btgt_a, bvp_a, S,
-                         _) in enumerate(built):
-                    acc = self._phase2_agg(
-                        self.params, feats_b, put_batch(bpoints_a),
-                        put_batch(btgt_a), put_batch(bvp_a),
-                        dev_eids[bi, :, :S], acc,
-                    )
-                fine["p2_dispatch"] += time.time() - tdisp
-                tfetch = time.time()
-                acc_np = np.asarray(acc)  # ONE [E_pad + 1, 3] int32 fetch
-                fine["p2_fetch"] += time.time() - tfetch
-                sum_q = acc_np[:E, 0].astype(np.float64)
-                cnt = np.maximum(acc_np[:E, 1].astype(np.float64), 1.0)
-                nanc = acc_np[:E, 2].astype(np.float64)
-                # decode: valid scores summed as int16 fixed-point; each NaN
-                # contributed the -32768 sentinel to sum_q and must become
-                # the reference's -100 poisoning (inferencer.py:206) instead
-                sums = (sum_q + 32768.0 * nanc) / 32767.0 - 100.0 * nanc
-                avg = sums / cnt
-                kept = uniq[avg > cfg.TOPO_THRESHOLD].astype(np.int64)
-                agg_edges = (
-                    np.stack([kept >> 16, kept & 0xFFFF], axis=1)
-                    if kept.size else np.zeros((0, 2), dtype=np.int64)
+                return None
+            # edge-id tables for ALL batches in ONE packed upload
+            # (per-batch puts measured RTT-bound); sliced per batch
+            # on device
+            nb = len(built)
+            S_max = max(e[5] for e in built)
+            K = max_nbr
+            eids = np.full((nb, B, S_max, K), E_pad, np.uint16)
+            for bi, (_, _, _, _, _, S, bvalid_a) in enumerate(built):
+                eid = np.searchsorted(
+                    uniq, keys_per[bi]).astype(np.uint16)
+                eid[~bvalid_a] = E_pad
+                eids[bi, :, :S] = eid
+            fine["p2_build"] += time.time() - tkey
+            tdisp = time.time()
+            dev_eids = jnp.asarray(eids)
+            acc = jnp.zeros((E_pad + 1, 3), jnp.int32)
+            for bi, (feats_b, _, bpoints_a, btgt_a, bvp_a, S,
+                     _) in enumerate(built):
+                acc = self._phase2_agg(
+                    self.params, feats_b, put_batch(bpoints_a),
+                    put_batch(btgt_a), put_batch(bvp_a),
+                    dev_eids[bi, :, :S], acc,
                 )
+            fine["p2_dispatch"] += time.time() - tdisp
+            tfetch = time.time()
+            acc_np = np.asarray(acc)  # ONE [E_pad + 1, 3] int32 fetch
+            fine["p2_fetch"] += time.time() - tfetch
+            sum_q = acc_np[:E, 0].astype(np.int64)
+            cnt = np.maximum(acc_np[:E, 1].astype(np.float64), 1.0)
+            nanc = acc_np[:E, 2].astype(np.int64)
+            # decode: valid scores summed as int16 fixed-point; each NaN
+            # contributed the -32768 sentinel to sum_q and must become
+            # the reference's -100 poisoning (inferencer.py:206) instead.
+            # The int64 sum is exact, and the host reduction below decodes
+            # the same way — so host and device paths are bit-identical.
+            sums = ((sum_q + 32768 * nanc).astype(np.float64) / 32767.0
+                    - 100.0 * nanc.astype(np.float64))
+            avg = sums / cnt
+            kept = uniq[avg > cfg.TOPO_THRESHOLD].astype(np.int64)
+            return (
+                np.stack([kept >> 16, kept & 0xFFFF], axis=1)
+                if kept.size else np.zeros((0, 2), dtype=np.int64)
+            )
 
-        if pack and built and not agg:
+        agg_edges = _device_agg() if (agg and built) else None
+
+        if built and agg_edges is None and (pack or agg):
             tdisp = time.time()
             nb = len(built)
             S_max = max(e[5] for e in built)
@@ -1148,9 +1169,10 @@ class TiledInferenceEngine:
         fine["p2_fetch"] += time.time() - tfetch
 
         for bi, (scores_dev, per_patch) in enumerate(pending):
-            q = fetched[bi]
-            scores = q.astype(np.float32) / 32767.0
-            scores = np.where(q == -(2 ** 15), -100.0, scores)[..., 0]
+            # keep the raw int16 fixed-point scores: the final reduction
+            # sums them exactly in int64 (one float divide per edge), so
+            # the host path is bit-identical to the device-agg path
+            q = fetched[bi][..., 0].astype(np.int64)
             # vectorized edge-score accumulation over valid entries
             for i, (pidx, pts, pairs, valid) in enumerate(per_patch):
                 n = pts.shape[0]
@@ -1163,7 +1185,7 @@ class TiledInferenceEngine:
                 local_tgt = pairs[..., 1][v]
                 all_src.append(pidx[local_src])
                 all_tgt.append(pidx[local_tgt])
-                all_score.append(scores[i, :n][v])
+                all_score.append(q[i, :n][v])
 
         t3 = time.time()
         if agg_edges is not None:
@@ -1173,14 +1195,21 @@ class TiledInferenceEngine:
         else:
             src = np.concatenate(all_src)
             tgt = np.concatenate(all_tgt)
-            sc = np.concatenate(all_score)
+            sc = np.concatenate(all_score)  # int64 fixed-point q values
             keys = src * np.int64(graph_points.shape[0]) + tgt
             uniq, inv = np.unique(keys, return_inverse=True)
-            sums = np.zeros(uniq.shape[0], np.float64)
-            counts = np.zeros(uniq.shape[0], np.float64)
-            np.add.at(sums, inv, sc)
-            np.add.at(counts, inv, 1.0)
-            avg = sums / counts
+            sum_q = np.zeros(uniq.shape[0], np.int64)
+            nanc = np.zeros(uniq.shape[0], np.int64)
+            counts = np.zeros(uniq.shape[0], np.int64)
+            np.add.at(sum_q, inv, sc)
+            np.add.at(nanc, inv, (sc == -(2 ** 15)).astype(np.int64))
+            np.add.at(counts, inv, 1)
+            # exact-int decode, the same formula as the device-agg path
+            # (NaN sentinel -32768 -> the reference's -100 poisoning,
+            # inferencer.py:206) — the two paths are bit-identical
+            sums = ((sum_q + 32768 * nanc).astype(np.float64) / 32767.0
+                    - 100.0 * nanc.astype(np.float64))
+            avg = sums / counts.astype(np.float64)
             keep = avg > cfg.TOPO_THRESHOLD
             kept = uniq[keep]
             pred_edges = np.stack(

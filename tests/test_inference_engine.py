@@ -315,3 +315,45 @@ def test_p2_device_agg_no_valid_pairs(tiny_setup):
     nodes, edges, _, _ = eng.infer_one_img(img)
     assert nodes.shape[0] > 0
     assert edges.shape == (0, 2)
+
+
+@pytest.mark.parametrize("limit", ["verts", "edges"])
+def test_p2_device_agg_auto_fallback(tiny_setup, monkeypatch, capsys, limit):
+    """Regions exceeding the uint16 vertex/edge-id transport must fall back
+    to the host aggregation automatically (not assert). The real limits are
+    65536 vertices / 65535 padded edge ids — far too big to synthesize on a
+    test fixture — so shrink the module constants below the fixture's real
+    counts and require (a) a logged fallback and (b) output identical to
+    the host path."""
+    import sam_road_tpu.inference.engine as eng_mod
+
+    cfg, params = tiny_setup
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 255, (192, 192, 3), dtype=np.uint8)
+    shared = {k: cfg[k] for k in (
+        "SAM_VERSION", "PATCH_SIZE", "INFER_BATCH_SIZE",
+        "INFER_PATCHES_PER_EDGE", "SAMPLE_MARGIN", "COMPUTE_DTYPE",
+        "ITSC_THRESHOLD", "ROAD_THRESHOLD", "TOPO_THRESHOLD",
+        "ITSC_NMS_RADIUS", "ROAD_NMS_RADIUS", "NEIGHBOR_RADIUS",
+        "MAX_NEIGHBOR_QUERIES")}
+    host = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_P2_DEVICE_AGG": False}),
+        params, point_bucket=16,
+    )
+    n0, e0, kp0, rd0 = host.infer_one_img(img)
+    assert e0.shape[0] > 0, "fixture must exercise real edges"
+    if limit == "verts":
+        monkeypatch.setattr(eng_mod, "_AGG_MAX_VERTS", 2)
+    else:
+        monkeypatch.setattr(eng_mod, "_AGG_MAX_EDGE_PAD", 2)
+    dev = TiledInferenceEngine(
+        load_config(overrides={**shared, "INFER_P2_DEVICE_AGG": True}),
+        params, point_bucket=16,
+    )
+    n1, e1, kp1, rd1 = dev.infer_one_img(img)
+    out = capsys.readouterr().out
+    assert "falling back to host edge aggregation" in out
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(rd0, rd1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
