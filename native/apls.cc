@@ -340,8 +340,12 @@ double AplsOneWay(const Graph& gt, Graph& prop, const Params& prm) {
       if (static_cast<int>(chain.size()) > prm.interval_1) {
         int n = static_cast<int>(chain.size() / prm.interval_2) + 1;
         for (int i = 1; i < n; i++) {
-          int idx = static_cast<int>(chain.size() *
-                                     (static_cast<double>(i) / n));
+          // match Go's evaluation order exactly: (len * i) / n as float64
+          // (main.go:301). len * (i / n) differs by one ULP when len*i is a
+          // multiple of n (e.g. len 51, n 3, i 1: 17 vs 16) and picks the
+          // neighboring densified node as the control point.
+          int idx = static_cast<int>(
+              static_cast<double>(chain.size()) * i / n);
           int cn = chain[idx];
           if (GPSInBound(gt.nodes[cn], prm) && !node_cover_map_gt[cn]) {
             auto lk = LocKeyGrid(gt.nodes[cn], 2.0);
@@ -439,8 +443,12 @@ int main(int argc, char** argv) {
   }
   Params prm;
   if (argc > 4) {
-    // spacenet small-tile parameters (reference: main.go:717-726)
-    prm.interval_2 = 10.0;
+    // spacenet small-tile parameters (reference: main.go:717-726).
+    // NOTE the Go CODE sets interval_2 = 15.0 -> interval_1 = 22; the
+    // comment at main.go:295 ("spacenet: 15 ... 10.0") is stale — the
+    // reference APLS oracle test caught this implementation using the
+    // comment's values.
+    prm.interval_2 = 15.0;
     prm.interval_1 = static_cast<int>(prm.interval_2 * 1.5);
     prm.min_distance_filter = 30.0;
     prm.prop_step = 3;

@@ -31,7 +31,9 @@ from sam_road_tpu.metrics.latlon import gps_distance, xy2latlon
 # cityscale parameters (main.go:17-25); spacenet variant (main.go:717-726)
 CITY_PARAMS = dict(interval_1=37, interval_2=25.0, min_distance_filter=100.0,
                    prop_step=4, region_size=2048.0, margin_size=100.0)
-SPACENET_PARAMS = dict(interval_1=15, interval_2=10.0, min_distance_filter=30.0,
+# NOTE: the Go CODE sets interval_2 = 15.0 -> interval_1 = int(22.5) = 22
+# (main.go:720-721); the "interval 10-15" comment at main.go:295 is stale.
+SPACENET_PARAMS = dict(interval_1=22, interval_2=15.0, min_distance_filter=30.0,
                        prop_step=3, region_size=352.0, margin_size=30.0)
 
 
@@ -236,14 +238,28 @@ def _apls_one_way(graph_gt: _Graph, graph_prop: _Graph, params) -> float:
         from scipy.spatial import cKDTree
 
         tree = cKDTree(np.asarray(prop_nodes))
+        # rtreego (main.go:350-373) orders the 10 candidates by minimum
+        # euclidean distance IN RAW lat/lon DEGREES to the tol=1e-6 rect
+        # centered on each node (Roussopoulos minDist), not to the point:
+        # near-ties within ~2*tol (~0.2 m) can order differently. Query a
+        # wider plain-metric set, then re-rank by the rect metric — the
+        # plain top-40 always contains the rect top-10 (rect >= plain -
+        # tol*sqrt(2), and >30 candidates inside a 0.2 m band cannot occur
+        # in a ~2 m-spaced densified graph).
+        tol = 1e-6
         for nid1 in control_point_gt:
             q = graph_gt.nodes[nid1]
-            k = min(10, len(prop_nodes))
+            k = min(40, len(prop_nodes))
             dd, ii = tree.query(q, k=k)
             if k == 1:
                 dd, ii = [dd], [ii]
-            for cand in ii:
-                cand = int(cand)
+            ranked = sorted(
+                (max(0.0, abs(q[0] - prop_nodes[int(c)][0]) - tol) ** 2
+                 + max(0.0, abs(q[1] - prop_nodes[int(c)][1]) - tol) ** 2,
+                 int(c))
+                for c in np.atleast_1d(ii)
+            )
+            for _, cand in ranked[:10]:
                 if node_cover_map[cand]:
                     continue
                 if gps_distance(prop_nodes[cand], q) < 10.0:

@@ -1,0 +1,238 @@
+"""Cross-validate the production APLS scorers against a literal
+transliteration of the reference Go (tests/reference_apls_oracle.py, ported
+line-by-line from /root/reference/cityscale_metrics/apls/main.go).
+
+The reference Go cannot execute here (no Go toolchain), so the oracle IS the
+reference behavior, including its quirks. The one degree of freedom the Go
+leaves open is map-iteration order in the snapping loop (main.go:370 —
+random per run): the production Python port snaps in control-point
+insertion order and the production C++ in ascending gt-node order; each is
+one valid execution of the reference, so each is checked against the oracle
+run with the matching order.
+
+Fixtures target the spots a shared misreading would hide in
+(VERDICT round 4, missing #2):
+- chain-sampling index arithmetic straddling interval_1=37 and the
+  float-evaluation-order case where len*i is a multiple of n (main.go:300);
+- lockey collisions (control points within the same 2 m grid cell,
+  main.go:305);
+- pairs at the 100 m min_distance_filter boundary (main.go:510);
+- snap ties and one-to-one coverage conflicts (main.go:370-394);
+- unmatched endpoints and unreachable proposals (main.go:503-515).
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from sam_road_tpu.metrics.apls import apls_score
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from reference_apls_oracle import apls as oracle_apls  # noqa: E402
+
+# scores are sums of thousands of bounded terms accumulated in different
+# orders by the three implementations; agreement is to float tolerance
+TOL = 1e-9
+
+LAT0 = 41.0 - 0.004  # comfortably inside the 100 m margins of the
+LON0 = -71.0 + 0.006  # 2048 m cityscale region (main.go:79-93)
+M2LAT = 1.0 / 111111.0
+
+
+def m2lon(meters, lat=LAT0):
+    return meters / 111111.0 / math.cos(lat / 360.0 * 2.0 * math.pi)
+
+
+def seg(lat, lon, length_m, axis="lat", n_mid=0):
+    """A straight polyline [nodes, edges] of total length_m with n_mid
+    interior nodes (all degree 2 so they chain-walk)."""
+    nodes, edges = [], []
+    k = n_mid + 1
+    for i in range(k + 1):
+        f = i / k
+        if axis == "lat":
+            nodes.append([lat - length_m * f * M2LAT, lon])
+        else:
+            nodes.append([lat, lon + m2lon(length_m * f)])
+    for i in range(k):
+        edges.append([i, i + 1])
+    return [nodes, edges]
+
+
+def merge(*graphs):
+    nodes, edges = [], []
+    for g in graphs:
+        off = len(nodes)
+        nodes.extend(g[0])
+        edges.extend([[a + off, b + off] for a, b in g[1]])
+    return [nodes, edges]
+
+
+def grid(lat, lon, nx, ny, spacing_m, jitter_m=0.0, rng=None,
+         drop=()):
+    """Street grid; optional per-node metric jitter; drop = set of
+    ((ix,iy),(jx,jy)) undirected index pairs to remove."""
+    nodes, idx = [], {}
+    for ix in range(nx):
+        for iy in range(ny):
+            la = lat - ix * spacing_m * M2LAT
+            lo = lon + m2lon(iy * spacing_m)
+            if jitter_m and rng is not None:
+                la += rng.uniform(-jitter_m, jitter_m) * M2LAT
+                lo += m2lon(rng.uniform(-jitter_m, jitter_m))
+            idx[(ix, iy)] = len(nodes)
+            nodes.append([la, lo])
+    edges = []
+    for ix in range(nx):
+        for iy in range(ny):
+            for jx, jy in ((ix + 1, iy), (ix, iy + 1)):
+                if jx < nx and jy < ny:
+                    if ((ix, iy), (jx, jy)) in drop or ((jx, jy), (ix, iy)) in drop:
+                        continue
+                    edges.append([idx[(ix, iy)], idx[(jx, jy)]])
+    return [nodes, edges]
+
+
+def _assert_all_match(gt, prop, spacenet=False):
+    """Oracle(insertion) == python port; oracle(sorted) == native C++."""
+    o_ins = oracle_apls(gt, prop, spacenet=spacenet, snap_order="insertion")
+    py = apls_score(gt, prop, spacenet=spacenet)
+    for a, b in zip(o_ins, py):
+        assert abs(a - b) < TOL, (o_ins, py)
+
+    from sam_road_tpu.metrics.apls_native import apls_score_files_native
+    import tempfile
+
+    o_sort = oracle_apls(gt, prop, spacenet=spacenet, snap_order="sorted")
+    with tempfile.TemporaryDirectory() as td:
+        gt_p, prop_p, out_p = (os.path.join(td, n)
+                               for n in ("gt.json", "prop.json", "out.txt"))
+        json.dump(gt, open(gt_p, "w"))
+        json.dump(prop, open(prop_p, "w"))
+        native = apls_score_files_native(gt_p, prop_p, out_p,
+                                         spacenet=spacenet)
+    if native is None:
+        pytest.skip("native APLS scorer unavailable (no g++)")
+    # the native side round-trips scores through a 6-decimal text file
+    for a, b in zip(o_sort, native):
+        assert abs(a - b) < 1e-5, (o_sort, native)
+    return o_ins, o_sort
+
+
+def test_identical_grid():
+    g = grid(LAT0, LON0, 4, 4, 300.0)
+    o_ins, o_sort = _assert_all_match(g, g)
+    assert o_ins[2] > 0.97
+
+
+def test_jittered_proposal():
+    rng = np.random.default_rng(11)
+    gt = grid(LAT0, LON0, 4, 4, 300.0)
+    prop = grid(LAT0, LON0, 4, 4, 300.0, jitter_m=2.5, rng=rng)
+    o_ins, _ = _assert_all_match(gt, prop)
+    assert 0.5 < o_ins[2] <= 1.0
+
+
+def test_dropped_edges_detour():
+    gt = grid(LAT0, LON0, 4, 4, 300.0)
+    prop = grid(LAT0, LON0, 4, 4, 300.0,
+                drop=({((1, 1), (1, 2)), ((2, 1), (2, 2))}))
+    o_ins, _ = _assert_all_match(gt, prop)
+    same = oracle_apls(gt, gt, snap_order="insertion")[2]
+    assert o_ins[2] < same - 0.005
+
+
+@pytest.mark.parametrize("length_m", [70.0, 72.0, 74.0, 76.0, 98.0, 99.0,
+                                      99.9, 100.1, 102.0])
+def test_chain_lengths_straddle_interval(length_m):
+    """Densified chain node counts straddle interval_1=37 (len 72 m ->
+    chain 38) and hit the ULP-sensitive lengths: 99-100 m edges densify to
+    chains of 51 nodes where Go's (len*i)/n = 17.0 exactly but
+    len*(i/n) = 16.999... (main.go:297-301) — the arithmetic that must be
+    evaluated in the Go's order."""
+    gt = merge(
+        seg(LAT0, LON0, length_m),
+        seg(LAT0, LON0 + m2lon(400.0), 300.0),  # anchor long chain
+    )
+    prop = merge(
+        seg(LAT0 + 1.2 * M2LAT, LON0, length_m),
+        seg(LAT0, LON0 + m2lon(401.0), 300.0),
+    )
+    _assert_all_match(gt, prop)
+
+
+def test_lockey_collisions():
+    """Two parallel chains 1 m apart: their control points share 2 m
+    lockey grid cells, so the second chain's candidates are deduped
+    (main.go:305-309). All implementations must dedup identically."""
+    gt = merge(
+        seg(LAT0, LON0, 300.0),
+        seg(LAT0, LON0 + m2lon(1.0), 300.0),
+        seg(LAT0, LON0 + m2lon(0.4), 300.0),
+    )
+    prop = merge(
+        seg(LAT0 - 0.6 * M2LAT, LON0, 300.0),
+        seg(LAT0, LON0 + m2lon(1.3), 300.0),
+    )
+    _assert_all_match(gt, prop)
+
+
+def test_min_distance_filter_boundary():
+    """Control points whose GT shortest path lands within centimeters of
+    the 100 m min_distance_filter: truncated-int centimeter distances
+    decide which pairs count (main.go:510, 619)."""
+    # chains long enough to produce CPs ~100 m apart along one road
+    gt = merge(
+        seg(LAT0, LON0, 199.8),
+        seg(LAT0, LON0 + m2lon(300.0), 200.2),
+        seg(LAT0, LON0 + m2lon(600.0), 200.0),
+    )
+    prop = merge(
+        seg(LAT0 - 0.8 * M2LAT, LON0, 199.8),
+        seg(LAT0 + 0.8 * M2LAT, LON0 + m2lon(300.0), 200.2),
+        seg(LAT0, LON0 + m2lon(600.5), 200.0),
+    )
+    _assert_all_match(gt, prop)
+
+
+def test_snap_ties_and_coverage_conflicts():
+    """Proposal nodes closer together than the snap one-to-one coverage
+    radius: which control point claims which node depends on snap order —
+    the oracle must agree with each production ordering separately."""
+    gt = merge(
+        seg(LAT0, LON0, 120.0),
+        seg(LAT0, LON0 + m2lon(4.0), 120.0),
+    )
+    # single proposal chain between the two GT chains: both GT chains'
+    # control points compete for the same prop nodes
+    prop = seg(LAT0, LON0 + m2lon(2.0), 120.0)
+    _assert_all_match(gt, prop)
+
+
+def test_unreachable_and_unmatched():
+    """Disconnected proposal: matched pairs with unreachable d2 clamp to
+    s=1 (main.go:513-515); control points with no <10 m proposal node stay
+    -1 and every pair touching them counts 1.0 (main.go:503-507)."""
+    gt = merge(
+        seg(LAT0, LON0, 300.0),
+        seg(LAT0 - 400.0 * M2LAT, LON0, 300.0),
+    )
+    prop = seg(LAT0, LON0, 300.0)  # second GT road entirely missing
+    o_ins, _ = _assert_all_match(gt, prop)
+    assert o_ins[0] < 0.6  # gt->prop direction heavily penalized
+
+
+def test_spacenet_params():
+    """The spacenet parameter block (main.go:717-726): interval 15/22,
+    30 m filter, prop_step 3, 352 m region."""
+    lat0, lon0 = 41.0 - 0.0008, -71.0 + 0.0012
+    gt = grid(lat0, lon0, 3, 3, 80.0)
+    rng = np.random.default_rng(5)
+    prop = grid(lat0, lon0, 3, 3, 80.0, jitter_m=1.5, rng=rng)
+    o_ins, _ = _assert_all_match(gt, prop, spacenet=True)
+    assert 0.3 < o_ins[2] <= 1.0
