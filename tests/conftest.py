@@ -17,3 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the test subset compiles dozens of tiny
+# train/infer programs; on this 1-core VM those compiles dominate wall time.
+# A repo-local disk cache makes consecutive runs (and xdist workers) reuse
+# them, keeping the default subset comfortably under the 10-minute budget.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

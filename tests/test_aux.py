@@ -19,6 +19,38 @@ from sam_road_tpu.graph.extraction import (
 from sam_road_tpu.config import load_config
 
 
+def test_sigmoid_focal_loss_matches_torch_oracle():
+    """ops.sigmoid_focal_loss vs torch BCE-with-logits composed per the
+    torchvision.ops.sigmoid_focal_loss formula (reference: model.py:351).
+    torchvision itself is not installed; torch's BCEWithLogitsLoss is the
+    upstream primitive it composes."""
+    import torch
+
+    from sam_road_tpu.ops.losses import bce_with_logits, sigmoid_focal_loss
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 3, (4, 33)).astype(np.float32)
+    t = (rng.random((4, 33)) > 0.5).astype(np.float32)
+
+    tx, tt = torch.from_numpy(x), torch.from_numpy(t)
+    ce = torch.nn.functional.binary_cross_entropy_with_logits(
+        tx, tt, reduction="none")
+    p = torch.sigmoid(tx)
+    p_t = p * tt + (1 - p) * (1 - tt)
+    want = ce * (1 - p_t) ** 2.0
+    alpha = 0.25
+    want = (alpha * tt + (1 - alpha) * (1 - tt)) * want
+
+    got = np.asarray(sigmoid_focal_loss(x, t, reduction="none"))
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-6)
+    got_mean = float(sigmoid_focal_loss(x, t))
+    np.testing.assert_allclose(got_mean, float(want.mean()), rtol=1e-5)
+    # BCE primitive itself
+    np.testing.assert_allclose(
+        np.asarray(bce_with_logits(x, t, reduction="none")),
+        ce.numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_metrics_logger_jsonl(tmp_path):
     logger = MetricsLogger(str(tmp_path))
     logger.log({"loss": 1.5}, step=1)

@@ -54,6 +54,8 @@ def test_remat_encoder_trains(tmp_path):
     _one_step(_cfg(REMAT_ENCODER=True), tmp_path)
 
 
+@pytest.mark.slow  # trainer-variant tier (~45 s: fresh train-step compile);
+# focal-loss math itself is unit-tested in test_aux
 def test_focal_loss_trains(tmp_path):
     _one_step(_cfg(FOCAL_LOSS=True), tmp_path)
 

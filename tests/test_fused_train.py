@@ -72,6 +72,8 @@ def _surrogate_grads(cfg, params, batch, fused: bool, remat: bool = True):
     return jax.grad(loss)(params)
 
 
+@pytest.mark.slow  # ~60 s CPU: per-parameter fp32 autodiff sweep; the remat
+# grad identity + end-to-end fused-train tests keep default coverage
 def test_fused_train_grad_parity_fp32():
     """Fused differentiable forward must match flax autodiff gradients on
     every parameter (encoder, decoder, toponet) to 1e-5 in fp32."""

@@ -14,7 +14,7 @@ from sam_road_tpu.metrics.topo import topo_score_one_tile
 from sam_road_tpu.metrics.matching import maximum_matching_size
 
 
-def grid_adj(size=2048, spacing=300, lo=300, hi=1800, drop_edges=()):
+def grid_adj(size=2048, spacing=300, lo=300, hi=1200, drop_edges=()):
     """Street grid as a sat2graph dict with (r, c) keys."""
     adj = {}
 

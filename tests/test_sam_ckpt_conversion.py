@@ -151,6 +151,8 @@ def test_fake_sam_vit_lh_convert_with_resize_quirk(
     )
 
 
+@pytest.mark.slow  # ~40 s CPU: vit_l-dim oracle parity; the full vit_b
+# parity + conversion tests keep default coverage of the same math
 def test_vit_l_block_stack_matches_torch_oracle():
     """Small-grid oracle parity at the vit_l layout (dim 1024, 16 heads,
     full depth 24 with global_attn_indexes (5,11,17,23)) through the real
@@ -190,6 +192,8 @@ def test_vit_l_block_stack_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow  # ~25 s CPU: push-button tool dryrun; the converter logic
+# it drives is covered by the default conversion tests above
 def test_verify_real_ckpt_tool_dryrun(tmp_path):
     """tools/verify_real_ckpt.py dry-run against the fake flagship ckpt:
     the one-command parity check must run end to end and report ~0 oracle
