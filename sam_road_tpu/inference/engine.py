@@ -260,22 +260,19 @@ class TiledInferenceEngine:
 
     # ---------- sequence-parallel phase 1 (token-row sharding) ----------
 
-    def _make_sp_phase1_region(self, mesh):
-        """Whole-region phase 1 with every patch's ENCODER token-sharded over
-        the mesh (parallel/seq_parallel.py): each device computes a 1/n row
-        band of every patch's token grid; windowed attention all-gathers the
-        grid and computes a 1/n window slice, global attention runs
-        gathered-KV. Patch cropping, the decoder and the int32 mask fusion
-        run replicated (cheap next to the encoder at the SP-relevant
-        1024px+/vit_l+ geometries). Same signature as the single-device
-        `_phase1_region` program, so `_run_phase1`'s plain path drives it
-        unchanged."""
-        from jax.sharding import PartitionSpec as P
-
+    def _make_sp_mf_fn(self):
+        """Build (and memoize) the token-sharded mask+features forward used
+        INSIDE the engine's shard_map programs (SP_SHARDS mode): each device
+        computes a 1/n row band of every patch's token grid via the
+        collective encoder body (parallel/seq_parallel.py); the decoder and
+        everything around it run replicated. Must be traced inside a
+        shard_map over self.mesh (it uses lax.axis_index)."""
+        if getattr(self, "_sp_mf_fn", None) is not None:
+            return self._sp_mf_fn
         from sam_road_tpu.parallel.seq_parallel import make_sp_encoder_body
 
         spec = self.model.spec
-        axis = mesh.axis_names[0]
+        axis = self.mesh.axis_names[0]
         n = self.sp_shards
         enc_body = make_sp_encoder_body(
             sam_version=spec.sam_version, img_size=spec.patch_size,
@@ -299,6 +296,23 @@ class TiledInferenceEngine:
                 {"params": params["map_decoder"]}, emb
             )
             return jax.nn.sigmoid(logits.astype(jnp.float32)), emb
+
+        self._sp_mf_fn = mf_fn
+        return mf_fn
+
+    def _make_sp_phase1_region(self, mesh):
+        """Whole-region phase 1 with every patch's ENCODER token-sharded over
+        the mesh (parallel/seq_parallel.py): each device computes a 1/n row
+        band of every patch's token grid; windowed attention all-gathers the
+        grid and computes a 1/n window slice, global attention runs
+        gathered-KV. Patch cropping, the decoder and the int32 mask fusion
+        run replicated (cheap next to the encoder at the SP-relevant
+        1024px+/vit_l+ geometries). Same signature as the single-device
+        `_phase1_region` program, so `_run_phase1`'s plain path drives it
+        unchanged."""
+        from jax.sharding import PartitionSpec as P
+
+        mf_fn = self._make_sp_mf_fn()
 
         def body(params, img_u8, x0s, y0s, weights):
             return self._phase1_region_impl(
@@ -575,10 +589,18 @@ class TiledInferenceEngine:
         while earlier bands computed), seed the first `seed_w` accumulator
         columns from the previous band's overlap, scan this band's batches.
         seg_ws: static widths of the slab segments to concatenate (their sum
-        is band_w). seed_w == 0 means a fresh accumulator (band 0)."""
-        key = ("streamband", H, band_w, tuple(seg_ws), rounds, seed_w)
+        is band_w). seed_w == 0 means a fresh accumulator (band 0).
+
+        Under SP_SHARDS the same band program runs inside a shard_map with
+        the token-sharded encoder body (everything else replicated) — the
+        stream plan is encoder-agnostic, so big-patch scale-out composes
+        with the tapered/serialized upload pipeline instead of falling back
+        to the whole-region upload path."""
+        sp = self.sp_shards > 1
+        key = ("streamband", H, band_w, tuple(seg_ws), rounds, seed_w, sp)
         if key in self._sharded_cache:
             return self._sharded_cache[key]
+        mf_fn = self._make_sp_mf_fn() if sp else None
 
         def run(params, *args):
             segs = args[: len(seg_ws)]
@@ -597,7 +619,7 @@ class TiledInferenceEngine:
                 fused, cnt = carry
                 bx, by, bw = xyw
                 feats, fused, cnt = self._phase1_impl(
-                    params, band_img, bx, by, fused, cnt, bw
+                    params, band_img, bx, by, fused, cnt, bw, mf_fn=mf_fn
                 )
                 return (fused, cnt), feats
 
@@ -606,6 +628,17 @@ class TiledInferenceEngine:
             )
             return feats, fused, cnt
 
+        if sp:
+            from jax.sharding import PartitionSpec as P
+
+            n_args = 1 + len(seg_ws) + 3 + (2 if seed_w else 0)
+            run = jax.shard_map(
+                run,
+                mesh=self.mesh,
+                in_specs=(P(),) * n_args,
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
         fn = jax.jit(run)
         self._sharded_cache[key] = fn
         return fn
@@ -641,9 +674,17 @@ class TiledInferenceEngine:
         slab_lo = [0] + [b["e"] for b in bands[:-1]]
         serial = bool(self.config.INFER_STREAM_SERIAL_UPLOAD)
 
+        if self.sp_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            slab_sharding = NamedSharding(self.mesh, P())  # replicated
+        else:
+            slab_sharding = None
+
         def _put_slab(i):
             return jax.device_put(
-                np.ascontiguousarray(img[:, slab_lo[i] : bands[i]["e"]])
+                np.ascontiguousarray(img[:, slab_lo[i] : bands[i]["e"]]),
+                slab_sharding,
             )
 
         if serial:
@@ -853,8 +894,7 @@ class TiledInferenceEngine:
                         )
                 batches.append((feats[:, r], info))
         elif (
-            self.sp_shards <= 1  # streamed/banded programs are not SP-aware
-            and bool(cfg.INFER_STREAM_PHASE1)
+            bool(cfg.INFER_STREAM_PHASE1)  # SP-aware: bands wrap the SP body
             and patch_num > B
             and (plan := self._stream_plan(
                 all_patch_info, image_size,

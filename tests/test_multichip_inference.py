@@ -135,6 +135,38 @@ def test_sp_engine_matches_single_device(setup):
     assert nodes4.shape[0] > 0
 
 
+def test_sp_streamed_phase1_matches_whole_region(setup):
+    """SP + streamed phase 1 (VERDICT r4 ask #5): the k-band stream plan now
+    wraps the token-sharded encoder body in each band's shard_map instead of
+    forcing SP regions onto the slowest whole-region-upload path. Mask
+    accumulation stays int32 fixed-point, so the streamed SP engine is
+    BIT-identical to the whole-region SP engine."""
+    cfg, params, img = setup
+    mesh = make_mesh(4, jax.devices()[:4])
+
+    cfg_whole = load_config(
+        overrides={**cfg, "SP_SHARDS": 4, "INFER_STREAM_PHASE1": False}
+    )
+    whole = TiledInferenceEngine(cfg_whole, params, point_bucket=16, mesh=mesh)
+    nodes_w, edges_w, kp_w, road_w = whole.infer_one_img(img)
+
+    cfg_stream = load_config(overrides={**cfg, "SP_SHARDS": 4})
+    stream = TiledInferenceEngine(
+        cfg_stream, params, point_bucket=16, mesh=mesh
+    )
+    # the streamed path must actually engage (it would silently fall back to
+    # the whole-region program if the plan were rejected)
+    p1 = stream._run_phase1(img)
+    assert isinstance(p1["masks_dev"], tuple) and p1["masks_dev"][0] == "stream"
+    nodes_s, edges_s, kp_s, road_s = stream._finish(p1)
+
+    np.testing.assert_array_equal(kp_w, kp_s)
+    np.testing.assert_array_equal(road_w, road_s)
+    np.testing.assert_array_equal(nodes_w, nodes_s)
+    assert _edge_set(edges_w) == _edge_set(edges_s)
+    assert nodes_s.shape[0] > 0
+
+
 def test_sp_engine_rejects_bad_grid(setup):
     cfg, params, _ = setup
     # grid 4 cannot row-shard over 8 devices
