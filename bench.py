@@ -19,6 +19,15 @@ calibrated from the actual mask-score distribution so vertex extraction and
 TopoNet scoring run at a realistic workload (a few thousand graph vertices
 per region, matching real road scenes) instead of a degenerate empty or
 all-pixels one.
+
+Weather accounting (round 5): every run gets its OWN mini-canary (matmul
+TFLOP/s + link RTT + H2D rate) recorded in detail.per_run; detail.
+median_healthy_s is the median over runs whose canary read healthy (>= 100
+TFLOP/s — null unless >= 3 such runs: a measurement or nothing), and
+detail.weather_fit is the least-squares fit of region seconds on the three
+weather axes (tools/probe_weather.py methodology; 2026-08-19 probe: 9 runs,
+phase1 R^2 0.74, spread dominated by H2D bandwidth 28-56 MB/s; the chip
+never read healthy that day — max 89 TFLOP/s).
 """
 
 import json
@@ -98,11 +107,20 @@ def main():
 
     times = []
     run_timings = []
-    for _ in range(7):
+    run_weather = []  # per-run mini-canary: weather attached to EVERY run
+
+    def _timed_run():
+        w = canary_measure(reps=1) if canary_measure is not None else {}
         t0 = time.time()
         engine.infer_one_img(img)
-        times.append(time.time() - t0)
+        dt = time.time() - t0
+        times.append(dt)
         run_timings.append(dict(engine.last_timings))
+        run_weather.append(w)
+        return dt
+
+    for _ in range(7):
+        _timed_run()
     base7_median = float(np.median(times))
     # Weather states persist for minutes, so 7 back-to-back runs (~20 s)
     # can all sit inside one degraded window while the canary still reads
@@ -122,24 +140,33 @@ def main():
     canary_degraded = bool(canary) and not canary.get("healthy", True)
     extra_budget = 300.0
 
+    def _n_healthy():
+        return sum(1 for w in run_weather if w.get("healthy"))
+
     def _resample():
+        # min-seeking triggers (unchanged) OR healthy-window-median seeking:
+        # the 5x north star wants the MEDIAN <= 1.70 s; when the tight batch
+        # median misses it AND fewer than 3 runs saw a healthy chip, take
+        # spaced runs so the healthy-window median is a measurement instead
+        # of a projection (VERDICT r4 ask #1).
         return (float(np.min(times)) > RESAMPLE_TRIGGER_S
                 or (canary_degraded
-                    and float(np.min(times)) > 1.70))  # stop at >=5x
+                    and float(np.min(times)) > 1.70)  # stop at >=5x
+                or (base7_median > 1.70 and _n_healthy() < 3))
 
     resample_triggered = _resample()
     resample_reason = (
         "min>trigger" if float(np.min(times)) > RESAMPLE_TRIGGER_S
-        else ("canary_degraded" if resample_triggered else ""))
+        else ("canary_degraded"
+              if (canary_degraded and float(np.min(times)) > 1.70)
+              else ("median>5x_no_healthy_window" if resample_triggered
+                    else "")))
     while _resample() and extra_budget > 0.0:
-        time.sleep(30.0)
-        extra_budget -= 30.0
+        time.sleep(20.0)
+        extra_budget -= 20.0
         t0 = time.time()
-        engine.infer_one_img(img)
-        dt = time.time() - t0
-        extra_budget -= dt
-        times.append(dt)
-        run_timings.append(dict(engine.last_timings))
+        _timed_run()
+        extra_budget -= time.time() - t0
     best = int(np.argmin(times))
     region_s = float(times[best])
     best_timings = run_timings[best]
@@ -149,6 +176,38 @@ def main():
                       "degraded_wait_s": waited_s}
         except Exception:
             pass
+
+    # Healthy-window median: the median over runs whose OWN mini-canary read
+    # healthy (>= 100 TFLOP/s matmul). Null unless >= 3 such runs exist —
+    # a measurement or nothing, never a projection.
+    healthy_ts = [t for t, w in zip(times, run_weather) if w.get("healthy")]
+    median_healthy = (
+        round(float(np.median(healthy_ts)), 3) if len(healthy_ts) >= 3
+        else None
+    )
+    # Weather decomposition (tools/probe_weather.py methodology): least-
+    # squares fit of per-run region seconds on the three weather axes.
+    # High R^2 = the run-to-run spread is explained by the shared chip's
+    # multi-tenant weather, not by engine-controlled variance.
+    weather_fit = None
+    try:
+        y = np.asarray(times)
+        X = np.stack(
+            [np.array([1.0 / w["effective_tflops"] for w in run_weather]),
+             np.array([w["link_rtt_ms"] for w in run_weather]) / 1e3,
+             np.array([1.0 / w["h2d_mbps"] for w in run_weather]),
+             np.ones(len(times))], axis=1)
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ coef
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - float(((y - pred) ** 2).sum()) / ss_tot if ss_tot else None
+        weather_fit = {
+            "r2": round(r2, 3) if r2 is not None else None,
+            "coef": {k: round(float(c), 4) for k, c in zip(
+                ["inv_tflops", "rtt_s", "inv_h2d", "const"], coef)},
+        }
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -165,7 +224,24 @@ def main():
                     ],
                     "median_base7_s": round(base7_median, 3),
                     "median_all_s": round(float(np.median(times)), 3),
+                    "median_healthy_s": median_healthy,
+                    "n_healthy_runs": len(healthy_ts),
                     "all_runs_s": [round(t, 3) for t in times],
+                    # per-run weather (mini-canary immediately before each
+                    # run) + phase split: the decomposition that attributes
+                    # run-to-run spread to chip weather axes
+                    "per_run": [
+                        {
+                            "t": round(t, 3),
+                            "phase1": round(tm.get("phase1", 0.0), 3),
+                            "p2_fetch": round(tm.get("p2_fetch", 0.0), 3),
+                            "tflops": w.get("effective_tflops"),
+                            "rtt_ms": w.get("link_rtt_ms"),
+                            "h2d_mbps": w.get("h2d_mbps"),
+                        }
+                        for t, tm, w in zip(times, run_timings, run_weather)
+                    ],
+                    "weather_fit": weather_fit,
                     "resample_triggered": resample_triggered,
                     "resample_reason": resample_reason,
                     "n_extra_runs": len(times) - 7,
