@@ -197,14 +197,39 @@ def main():
              np.array([w["link_rtt_ms"] for w in run_weather]) / 1e3,
              np.array([1.0 / w["h2d_mbps"] for w in run_weather]),
              np.ones(len(times))], axis=1)
-        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        # Physically-constrained fit: slower weather can only ADD time, so
+        # the three weather coefficients are constrained >= 0 (free
+        # intercept); an unconstrained lstsq can go collinear-negative on
+        # RTT and produce nonsense at evaluation points.
+        try:
+            from scipy.optimize import nnls
+            Xa = np.hstack([X[:, :3], np.ones((len(times), 1)),
+                            -np.ones((len(times), 1))])
+            c, _ = nnls(Xa, y)
+            coef = np.array([c[0], c[1], c[2], c[3] - c[4]])
+        except Exception:
+            coef, *_ = np.linalg.lstsq(X, y, rcond=None)
         pred = X @ coef
         ss_tot = float(((y - y.mean()) ** 2).sum())
         r2 = 1.0 - float(((y - pred) ** 2).sum()) / ss_tot if ss_tot else None
+        # Evaluate the fit at the chip's MEASURED healthy capability
+        # (canary record: 119-139 TFLOP/s matmul, ~14 ms RTT, ~100 MB/s
+        # H2D — tools/device_canary.py) — clearly a fit evaluation, not a
+        # measurement; median_healthy_s above remains measurement-only.
+        # `extrapolated` is true when no run actually saw a healthy chip,
+        # i.e. the healthy point lies outside the observed weather range.
+        pred_healthy = float(
+            coef[0] / 119.0 + coef[1] * 0.014 + coef[2] / 100.0 + coef[3])
+        max_obs_tflops = max(
+            (w.get("effective_tflops") or 0.0) for w in run_weather)
         weather_fit = {
             "r2": round(r2, 3) if r2 is not None else None,
             "coef": {k: round(float(c), 4) for k, c in zip(
                 ["inv_tflops", "rtt_s", "inv_h2d", "const"], coef)},
+            "predicted_at_healthy_s": round(pred_healthy, 3),
+            "healthy_point": {"tflops": 119.0, "rtt_ms": 14.0,
+                              "h2d_mbps": 100.0},
+            "extrapolated": bool(max_obs_tflops < 100.0),
         }
     except Exception:
         pass
