@@ -81,7 +81,9 @@ def main(argv=None):
         "DP_SHARDS and SP_SHARDS are mutually exclusive (spatial patch "
         "banding vs token-row sharding of one patch)")
     want = max(n_shards, sp_shards)
-    if want > 1:
+    # sp_shards == 1 is the SP-overhead measurement mode: a 1-device mesh
+    # runs the sequence-parallel machinery with identity collectives.
+    if want > 1 or sp_shards == 1:
         import jax
 
         from sam_road_tpu.parallel.mesh import make_mesh

@@ -80,16 +80,20 @@ class TiledInferenceEngine:
         self.config = config
         self.model = build_model(config)
         self.mesh = mesh
-        # SP_SHARDS > 1: the mesh is used for SEQUENCE parallelism (token-row
+        # SP_SHARDS >= 1: the mesh is used for SEQUENCE parallelism (token-row
         # sharding of each patch's encoder, parallel/seq_parallel.py) instead
         # of spatial patch banding — the scale-out for BIG PATCHES (1024px+,
         # vit_l/h) rather than big regions (SURVEY §2.2 SP row).
+        # SP_SHARDS == 1 with a 1-device mesh runs the SP machinery
+        # (shard_map + collective encoder body) where every collective is an
+        # identity — the measurement mode for quantifying SP-path overhead
+        # at target geometry on one real chip (tools/ab_sp_1024.py).
         self.sp_shards = int(config.SP_SHARDS or 0)
-        if self.sp_shards > 1 and mesh is None:
+        if self.sp_shards >= 1 and mesh is None:
             print(f"SP_SHARDS={self.sp_shards} requested without a mesh; "
                   "running single-device", flush=True)
             self.sp_shards = 0
-        if self.sp_shards > 1:
+        if self.sp_shards >= 1:
             assert int(np.prod(mesh.devices.shape)) == self.sp_shards, (
                 f"SP_SHARDS={self.sp_shards} needs a mesh of that size")
             grid = int(config.PATCH_SIZE) // 16
@@ -105,7 +109,7 @@ class TiledInferenceEngine:
         self.patch_size = int(config.PATCH_SIZE)
         self.batch_size = int(config.INFER_BATCH_SIZE)
         self._fused_encoder = bool(config.FUSED_ENCODER)
-        if self._fused_encoder and self.sp_shards > 1:
+        if self._fused_encoder and self.sp_shards >= 1:
             print("FUSED_ENCODER disabled under SP_SHARDS: the sequence-"
                   "parallel path uses its own collective encoder", flush=True)
             self._fused_encoder = False
@@ -136,7 +140,7 @@ class TiledInferenceEngine:
             self._rep = NamedSharding(mesh, P())
             self._shard = NamedSharding(mesh, P("dp"))
             self.params = jax.device_put(params, self._rep)
-        elif self.sp_shards > 1:
+        elif self.sp_shards >= 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self.params = jax.device_put(params, NamedSharding(mesh, P()))
@@ -596,7 +600,7 @@ class TiledInferenceEngine:
         stream plan is encoder-agnostic, so big-patch scale-out composes
         with the tapered/serialized upload pipeline instead of falling back
         to the whole-region upload path."""
-        sp = self.sp_shards > 1
+        sp = self.sp_shards >= 1
         key = ("streamband", H, band_w, tuple(seg_ws), rounds, seed_w, sp)
         if key in self._sharded_cache:
             return self._sharded_cache[key]
@@ -674,7 +678,7 @@ class TiledInferenceEngine:
         slab_lo = [0] + [b["e"] for b in bands[:-1]]
         serial = bool(self.config.INFER_STREAM_SERIAL_UPLOAD)
 
-        if self.sp_shards > 1:
+        if self.sp_shards >= 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             slab_sharding = NamedSharding(self.mesh, P())  # replicated
@@ -904,7 +908,7 @@ class TiledInferenceEngine:
             batches, masks_dev = self._phase1_streamed(
                 img, all_patch_info, plan
             )
-        elif (self.sp_shards <= 1
+        elif (self.sp_shards < 1
               and int(cfg.INFER_UPLOAD_BANDS or 1) > 1 and patch_num > B):
             batches, masks_dev = self._phase1_banded_upload(
                 img, all_patch_info, int(cfg.INFER_UPLOAD_BANDS)
@@ -993,7 +997,7 @@ class TiledInferenceEngine:
         # path's mesh-sharded feats haven't been validated against the
         # donated-accumulator chain.
         agg = (bool(cfg.INFER_P2_DEVICE_AGG) and self.n_shards == 1
-               and self.sp_shards <= 1)
+               and self.sp_shards < 1)
         if agg and graph_points.shape[0] >= _AGG_MAX_VERTS:
             # device edge aggregation packs vertex indices into uint16 key
             # halves; oversized regions fall back to the host reduction

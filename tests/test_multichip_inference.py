@@ -167,6 +167,33 @@ def test_sp_streamed_phase1_matches_whole_region(setup):
     assert nodes_s.shape[0] > 0
 
 
+def test_sp1_measurement_mode_matches_plain(setup):
+    """SP_SHARDS=1 + a 1-device mesh runs the SP machinery (shard_map +
+    collective encoder body) with identity collectives — the mode
+    tools/ab_sp_1024.py uses to measure SP-path overhead at target geometry
+    on ONE real chip (VERDICT r4 ask #5 A/B). Must agree with the plain
+    engine to the same tolerance as any SP width."""
+    cfg, params, img = setup
+    plain = TiledInferenceEngine(cfg, params, point_bucket=16)
+    nodes1, edges1, kp1, road1 = plain.infer_one_img(img)
+
+    cfg_sp = load_config(overrides={**cfg, "SP_SHARDS": 1})
+    mesh = make_mesh(1, jax.devices()[:1])
+    sp = TiledInferenceEngine(cfg_sp, params, point_bucket=16, mesh=mesh)
+    assert sp.sp_shards == 1 and sp.n_shards == 1
+    # the streamed phase 1 must engage under SP=1 exactly as at SP>1
+    p1 = sp._run_phase1(img)
+    assert isinstance(p1["masks_dev"], tuple) and p1["masks_dev"][0] == "stream"
+    nodes_s, edges_s, kp_s, road_s = sp._finish(p1)
+
+    assert np.abs(kp1.astype(int) - kp_s.astype(int)).max() <= 1
+    assert np.abs(road1.astype(int) - road_s.astype(int)).max() <= 1
+    s1 = {tuple(map(int, n)) for n in nodes1}
+    ss = {tuple(map(int, n)) for n in nodes_s}
+    assert len(s1 ^ ss) <= max(2, len(s1) // 50), (len(s1), len(ss), s1 ^ ss)
+    assert nodes_s.shape[0] > 0
+
+
 def test_sp_engine_rejects_bad_grid(setup):
     cfg, params, _ = setup
     # grid 4 cannot row-shard over 8 devices
