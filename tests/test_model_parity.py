@@ -239,6 +239,8 @@ def test_flagship_vitb_512_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # ~26 s: vit_l/h spec builds at full embed dims; default
+# tier covers the encoder via the vit_t torch-oracle parity tests.
 def test_encoder_specs_all_sizes():
     """vit_l / vit_h specs build with correct rel-pos table shapes and run
     a tiny forward (64px keeps CPU time bounded)."""

@@ -55,6 +55,9 @@ def _fake_sam_vit_b_state_dict():
     return sd
 
 
+@pytest.mark.slow  # ~40 s warm: full-shape vit_b fake-ckpt conversion; the
+# default tier keeps converter coverage via the lightning-ckpt+LoRA and
+# MAE-overlay conversions below (same machinery, smaller tensors).
 def test_fake_sam_vit_b_converts_fully(tmp_path):
     from sam_road_tpu.config import load_config
     from sam_road_tpu.models.convert import load_and_convert
