@@ -128,6 +128,18 @@ DEFAULTS: dict = {
     # phase-2 grouped score fetch in k dispatch-ordered waves: wave 1's
     # transfer rides under the later batches' TopoNet time
     "INFER_P2_FETCH_WAVES": 1,
+    # SPECULATIVE phase 2 (streamed single-chip phase 1 only): while the
+    # last stream band still computes, extract vertices PROVISIONALLY from
+    # the already-final mask columns and dispatch TopoNet for batches whose
+    # patches lie safely inside them — the scoring queue then drains under
+    # the last band / mask fetch instead of after extraction. _finish
+    # verifies each speculative batch's pair args against the final extraction
+    # byte-for-byte and silently re-dispatches on mismatch, so results are
+    # BIT-identical to the non-speculative path by construction.
+    "INFER_P2_SPECULATIVE": False,
+    # eligibility margin (px) from the provisional-extraction frontier;
+    # 0 -> auto (2 * ROAD_NMS_RADIUS). Larger = fewer, safer speculations.
+    "INFER_P2_SPEC_GUARD": 0,
     # pack all batches' phase-2 pair args into ONE upload per arg kind
     # (3 transfers instead of 3 per batch), sliced per batch on device;
     # scores exactly unchanged. Paired TPU A/B: LOST every round

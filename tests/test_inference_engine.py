@@ -357,3 +357,54 @@ def test_p2_device_agg_auto_fallback(tiny_setup, monkeypatch, capsys, limit):
     np.testing.assert_array_equal(rd0, rd1)
     np.testing.assert_array_equal(n0, n1)
     np.testing.assert_array_equal(e0, e1)
+
+
+def test_speculative_phase2_exact_hits_and_forced_miss():
+    """INFER_P2_SPECULATIVE: while the last stream band computes, phase 2 is
+    dispatched against vertices extracted PROVISIONALLY from the finalized
+    band columns. Greedy NMS is global, so _finish accepts a speculative
+    score buffer only when the batch's pair args match the final extraction
+    byte-for-byte and re-dispatches otherwise — outputs are bit-identical
+    either way. This test pins (a) the accept path on a sparse workload
+    (hits >= 1, outputs exactly equal to the non-speculative engine) and
+    (b) the re-dispatch path via a tampered speculative entry."""
+    over = dict(
+        SAM_VERSION="vit_t", PATCH_SIZE=64, INFER_BATCH_SIZE=8,
+        INFER_PATCHES_PER_EDGE=8, SAMPLE_MARGIN=8, COMPUTE_DTYPE="float32",
+        ITSC_THRESHOLD=0.9, ROAD_THRESHOLD=0.52, TOPO_THRESHOLD=0.4,
+        ITSC_NMS_RADIUS=4, ROAD_NMS_RADIUS=8, NEIGHBOR_RADIUS=24,
+        MAX_NEIGHBOR_QUERIES=4,
+    )
+    params = init_params(load_config(overrides=over))
+    img = np.random.default_rng(3).integers(0, 255, (448, 448, 3),
+                                            dtype=np.uint8)
+    base = TiledInferenceEngine(load_config(overrides=over), params,
+                                point_bucket=16)
+    n0, e0, kp0, rd0 = base.infer_one_img(img)
+    assert n0.shape[0] > 0, "fixture must extract vertices"
+
+    spec = TiledInferenceEngine(
+        load_config(overrides={**over, "INFER_P2_SPECULATIVE": True}),
+        params, point_bucket=16,
+    )
+    n1, e1, kp1, rd1 = spec.infer_one_img(img)
+    t = spec.last_timings
+    assert t.get("spec_dispatched", 0) >= 1, t
+    assert t.get("spec_hits", 0) >= 1, t
+    np.testing.assert_array_equal(kp0, kp1)
+    np.testing.assert_array_equal(rd0, rd1)
+    np.testing.assert_array_equal(n0, n1)
+    np.testing.assert_array_equal(e0, e1)
+
+    # forced miss: corrupt one speculative entry's pair coords — the
+    # verification must reject it and re-dispatch, with identical outputs
+    p1 = spec._run_phase1(img)
+    entries = p1["spec"]["entries"]
+    assert entries, "speculation must engage"
+    first = next(iter(entries))
+    entries[first][1][0, 0, 0] ^= 1  # tamper bpoints
+    n2, e2, kp2, rd2 = spec._finish(p1)
+    assert spec.last_timings.get("spec_miss", 0) >= 1
+    np.testing.assert_array_equal(kp0, kp2)
+    np.testing.assert_array_equal(n0, n2)
+    np.testing.assert_array_equal(e0, e2)
