@@ -83,6 +83,10 @@ def main():
         "a_phase1_min": round(min(p["phase1"] for p in ph_a), 3),
         "b_phase1_min": round(min(p["phase1"] for p in ph_b), 3),
     }
+    # surface any speculative-phase-2 counters from the last rounds
+    spec_b = {k: v for k, v in ph_b[-1].items() if k.startswith("spec")}
+    if spec_b:
+        out["b_spec_last"] = spec_b
     print(json.dumps(out, indent=1))
 
 
