@@ -97,8 +97,13 @@ def main():
         from device_canary import measure as canary_measure
 
         canary = canary_measure(reps=2)
+        # wall-clock deadline, not sleep-count: in deeply degraded states
+        # the canary CALLS themselves take minutes (multi-second dispatch
+        # RTTs), so a sleep-counted loop could stall the driver capture
+        _wait_deadline = time.time() + 240.0
         while (canary["effective_tflops"] < 60.0
-               or canary.get("link_rtt_ms", 0.0) > 300.0) and waited_s < 180.0:
+               or canary.get("link_rtt_ms", 0.0) > 300.0) \
+                and time.time() < _wait_deadline:
             time.sleep(45.0)
             waited_s += 45.0
             canary = canary_measure(reps=2)
@@ -109,8 +114,31 @@ def main():
     run_timings = []
     run_weather = []  # per-run mini-canary: weather attached to EVERY run
 
+    # Per-run mini-canaries attach weather to every run, but in deeply
+    # degraded states each canary call can itself take 15 s+ (multi-second
+    # dispatch RTTs) and dominate the capture's wall time. Budget them:
+    # once a single call exceeds 15 s or the cumulative canary time passes
+    # 90 s, stop probing and record the runs as weather-unknown (they count
+    # as unhealthy for the healthy-window median — a conservative miss,
+    # never an optimistic one).
+    _canary_spent = [0.0]
+
+    def _mini_canary():
+        if canary_measure is None or _canary_spent[0] > 90.0:
+            return {}
+        tc = time.time()
+        try:
+            w = canary_measure(reps=1)
+        except Exception:
+            return {}
+        dt = time.time() - tc
+        _canary_spent[0] += dt
+        if dt > 15.0:
+            _canary_spent[0] = 1e9  # single pathological call: stop probing
+        return w
+
     def _timed_run():
-        w = canary_measure(reps=1) if canary_measure is not None else {}
+        w = _mini_canary()
         t0 = time.time()
         engine.infer_one_img(img)
         dt = time.time() - t0
@@ -191,20 +219,25 @@ def main():
     # multi-tenant weather, not by engine-controlled variance.
     weather_fit = None
     try:
-        y = np.asarray(times)
+        # fit only over runs that HAVE a mini-canary (the canary budget can
+        # stop probing mid-batch in deeply degraded weather)
+        fit_pairs = [(t, w) for t, w in zip(times, run_weather)
+                     if w.get("effective_tflops")]
+        y = np.asarray([t for t, _ in fit_pairs])
+        fit_weather = [w for _, w in fit_pairs]
         X = np.stack(
-            [np.array([1.0 / w["effective_tflops"] for w in run_weather]),
-             np.array([w["link_rtt_ms"] for w in run_weather]) / 1e3,
-             np.array([1.0 / w["h2d_mbps"] for w in run_weather]),
-             np.ones(len(times))], axis=1)
+            [np.array([1.0 / w["effective_tflops"] for w in fit_weather]),
+             np.array([w["link_rtt_ms"] for w in fit_weather]) / 1e3,
+             np.array([1.0 / w["h2d_mbps"] for w in fit_weather]),
+             np.ones(len(y))], axis=1)
         # Physically-constrained fit: slower weather can only ADD time, so
         # the three weather coefficients are constrained >= 0 (free
         # intercept); an unconstrained lstsq can go collinear-negative on
         # RTT and produce nonsense at evaluation points.
         try:
             from scipy.optimize import nnls
-            Xa = np.hstack([X[:, :3], np.ones((len(times), 1)),
-                            -np.ones((len(times), 1))])
+            Xa = np.hstack([X[:, :3], np.ones((len(y), 1)),
+                            -np.ones((len(y), 1))])
             c, _ = nnls(Xa, y)
             coef = np.array([c[0], c[1], c[2], c[3] - c[4]])
         except Exception:
