@@ -359,6 +359,9 @@ def test_p2_device_agg_auto_fallback(tiny_setup, monkeypatch, capsys, limit):
     np.testing.assert_array_equal(e0, e1)
 
 
+@pytest.mark.slow  # ~35 s: INFER_P2_SPECULATIVE defaults OFF (0/4 hits at
+# the synthetic bench's tied-score NMS, docs/DESIGN.md); its numerics live
+# in this tier like the other default-off knobs (fused-train policy).
 def test_speculative_phase2_exact_hits_and_forced_miss():
     """INFER_P2_SPECULATIVE: while the last stream band computes, phase 2 is
     dispatched against vertices extracted PROVISIONALLY from the finalized
