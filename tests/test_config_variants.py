@@ -91,6 +91,8 @@ def test_lora_trains_and_freezes_base(tmp_path):
     )
 
 
+@pytest.mark.slow  # ~18 s: INFER_PATCHES_PER_EDGE=4 sparse-grid engine
+# run; the default tier covers the engine at the standard grid density
 def test_sparse_patch_grid_inference():
     """INFER_PATCHES_PER_EDGE smaller than full coverage (the 4x4 ablation
     configs) must leave uncovered pixels at 0 rather than NaN."""

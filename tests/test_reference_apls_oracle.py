@@ -130,6 +130,8 @@ def test_identical_grid():
     assert o_ins[2] > 0.97
 
 
+@pytest.mark.slow  # ~12 s: jittered-grid oracle sweep; identical-grid
+# oracle agreement stays in the default tier
 def test_jittered_proposal():
     rng = np.random.default_rng(11)
     gt = grid(LAT0, LON0, 4, 4, 300.0)
@@ -138,6 +140,7 @@ def test_jittered_proposal():
     assert 0.5 < o_ins[2] <= 1.0
 
 
+@pytest.mark.slow  # ~16 s: detour-degradation oracle case
 def test_dropped_edges_detour():
     gt = grid(LAT0, LON0, 4, 4, 300.0)
     prop = grid(LAT0, LON0, 4, 4, 300.0,

@@ -14,6 +14,8 @@ from sam_road_tpu.models.sam_decoder import SamMaskDecoderHead
 from torch_oracle import OracleSamDecoderHead
 
 
+@pytest.mark.slow  # ~18 s: full torch-oracle parity; the in-SAMRoad
+# integration test below stays in the default tier
 def test_sam_decoder_matches_torch_oracle():
     torch.manual_seed(0)
     oracle = OracleSamDecoderHead(image_size=64).eval()
