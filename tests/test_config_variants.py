@@ -115,6 +115,8 @@ def test_sparse_patch_grid_inference():
     assert np.isfinite(road.astype(np.float64)).all()
 
 
+@pytest.mark.slow  # ~25 s: full CLI drive over an 8-dev mesh; sharded-engine
+# exactness stays default (test_multichip_inference.py) + the driver dryrun
 def test_infer_cli_multichip(tmp_path):
     """samroad-infer with DP_SHARDS > 1 shards each tile's patch grid over
     the mesh (same config key as the Trainer); graphs/masks land on disk."""

@@ -67,6 +67,8 @@ def test_fast_encoder_pad_free_path_matches():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # ~12 s: non-divisible-window edge; pad-free + v3-kernel
+# representatives stay default
 def test_fast_encoder_v3_nondivisible_window_pad():
     """window 5 on a 6x6 grid pads 6->10: pad tokens must act as keys with
     qkv(0)=bias exactly (the bias-after-pad construction)."""
@@ -125,6 +127,8 @@ def test_engine_fused_encoder_path_matches_default():
     assert abs(nodes0.shape[0] - nodes1.shape[0]) <= 2
 
 
+@pytest.mark.slow  # ~13 s: large-grid dispatch edge; v3-kernel + engine-match
+# representatives stay default
 def test_fast_encoder_large_grid_global_fallback():
     """At grids whose global-attention scores exceed the whole-N VMEM
     budget (N > ~1225), _global_block_v3 must dispatch to the folded
@@ -159,6 +163,8 @@ def test_fast_encoder_large_grid_global_fallback():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow  # ~10 s: XLA-tail knob parity; the default-config engine
+# match stays default
 def test_fast_encoder_xla_tail_flag_parity():
     """The XLA_TAIL A/B flag (tools/experiment_fused_encoder.py) must
     keep the same numerics as the Pallas tail kernel."""

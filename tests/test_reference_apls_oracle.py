@@ -124,6 +124,8 @@ def _assert_all_match(gt, prop, spacenet=False):
     return o_ins, o_sort
 
 
+@pytest.mark.slow  # ~18 s: big identical-grid sweep; the adversarial oracle
+# cases (chain lengths, lockeys, min-distance, snap ties) stay default
 def test_identical_grid():
     g = grid(LAT0, LON0, 4, 4, 300.0)
     o_ins, o_sort = _assert_all_match(g, g)

@@ -255,6 +255,8 @@ def _fake_mae_vit_b_state_dict():
     return sd
 
 
+@pytest.mark.slow  # ~32 s: full-shape vit_b fake-MAE conversion, like the
+# other full-shape conversion cases already in this tier
 def test_fake_mae_vit_b_no_sam_init(tmp_path):
     """NO_SAM ablation init from a fake full-shape MAE checkpoint
     (reference experiment: vitdet.py:43-110): the trunk transfers, while
@@ -294,6 +296,8 @@ def test_fake_mae_vit_b_no_sam_init(tmp_path):
         sd["blocks.7.attn.qkv.weight"].numpy().T, rtol=1e-6)
 
 
+@pytest.mark.slow  # ~14 s: Lightning+LoRA conversion drive; the plain SAM
+# conversion + resize-quirk cases stay default
 def test_samroad_lightning_ckpt_with_lora_converts(tmp_path):
     """A fine-tuned SAMRoad Lightning checkpoint (512px-sized encoder +
     map_decoder + topo_net + LoRA adapters) converts with no unmapped keys

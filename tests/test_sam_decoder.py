@@ -43,6 +43,8 @@ def test_sam_decoder_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow  # ~16 s: full-module drive; the torch-oracle decoder
+# parity case above stays default
 def test_sam_decoder_in_sam_road():
     from sam_road_tpu.config import load_config
     from sam_road_tpu.models.sam_road import build_model

@@ -185,6 +185,8 @@ def test_validation_viz_written(tmp_path):
     assert img.shape[1] == 3 * cfg.PATCH_SIZE + 16
 
 
+@pytest.mark.slow  # ~30 s: full FREEZE_ENCODER train loop; freeze coverage
+# stays default via test_param_groups + test_lora_trains_and_freezes_base
 def test_frozen_encoder_unchanged():
     cfg = _tiny_cfg(FREEZE_ENCODER=True)
     params = init_params(cfg)
